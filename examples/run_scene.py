@@ -1,0 +1,87 @@
+"""Run a scene file — the framework's equivalent of the reference's entry
+scripts (main.py / main_3d.py), but headless and CLI-driven (the reference
+hardcodes scene paths and has no argparse, SURVEY.md §5.6).
+
+Usage:
+    python examples/run_scene.py scenes/demo_2d.json --steps 200 \
+        --substeps 5 --out /tmp/frames --format npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+import tisph_tpu as tt
+from tisph_tpu.models.state import state_to_host
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description="Run a tisph_tpu scene")
+    ap.add_argument("scene", help="scene JSON (reference schema)")
+    ap.add_argument("--steps", type=int, default=100, help="rendered frames")
+    ap.add_argument("--substeps", type=int, default=5,
+                    help="solver steps per frame (reference runs 5, main_3d.py:31)")
+    ap.add_argument("--solver", choices=["wcsph", "legacy"], default="wcsph")
+    ap.add_argument("--compat", choices=["reference", "config"], default="reference")
+    ap.add_argument("--out", default=None, help="frame output directory")
+    ap.add_argument("--format", choices=["npz", "png"], default="npz")
+    ap.add_argument("--metrics-every", type=int, default=10)
+    args = ap.parse_args()
+
+    scene = tt.load_scene(args.scene)
+    print(f"scene: dim={scene.dim} domain={scene.domain_start}->{scene.domain_end} "
+          f"r={scene.particle_radius}")
+    state = tt.build_state(scene)
+    print(f"particles: {int(state.num_active)} (capacity {state.capacity})")
+
+    solver_cls = tt.WCSPH if args.solver == "wcsph" else tt.WCSPHLegacy
+    solver = solver_cls(scene, compat=args.compat)
+    solver.bind(state)
+    print(f"grid: res={solver.spec.res} run_cap={solver.spec.run_cap} "
+          f"dt={solver.params.dt}")
+
+    exporter = None
+    if args.out:
+        from tisph_tpu.render.export import FrameExporter
+        exporter = FrameExporter(args.out, fmt=args.format, scene=scene)
+
+    t0 = time.time()
+    for frame in range(args.steps):
+        state = solver.rollout(state, args.substeps)
+        if exporter is not None:
+            exporter.save(state, frame)
+        if args.metrics_every and frame % args.metrics_every == 0:
+            m = jax.device_get(solver.metrics(state))
+            print(f"frame {frame:5d}  vmax={float(m['max_velocity']):8.3f}  "
+                  f"cfl={float(m['cfl']):6.4f}  "
+                  f"rho_err={float(m['avg_density_error']):7.4f}  "
+                  f"run={int(m['max_run_length'])}/{int(m['run_cap'])}  "
+                  f"nan={int(m['nan_count'])}")
+            if int(m["nan_count"]):
+                print("ERROR: NaN detected, aborting", file=sys.stderr)
+                return 1
+            if int(m["max_run_length"]) > int(m["run_cap"]):
+                print("ERROR: neighbor run overflow — increase run_cap",
+                      file=sys.stderr)
+                return 1
+    jax.block_until_ready(state.x)
+    wall = time.time() - t0
+    total_steps = args.steps * args.substeps
+    pps = int(state.num_active) * total_steps / wall
+    print(f"done: {total_steps} steps, {wall:.2f}s wall, "
+          f"{pps:.3e} particle-steps/sec")
+    if exporter is not None:
+        exporter.close()
+        print(f"frames written to {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
