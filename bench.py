@@ -1,0 +1,71 @@
+"""Benchmark: particle-steps/sec on the 3D WCSPH dam break (BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is measured against the driver-set north star of 1e9
+particle-steps/sec (BASELINE.json; the reference publishes no numbers —
+SURVEY.md §6).
+
+Scene: scenes/demo_3d.json (the reference's flagship main_3d.py workload,
+~195k particles at radius spacing).  Override with BENCH_SCENE /
+BENCH_STEPS env vars.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+
+import tisph_tpu as tt
+
+NORTH_STAR = 1e9  # particle-steps/sec (BASELINE.json)
+
+
+def main() -> int:
+    scene_path = os.environ.get(
+        "BENCH_SCENE", os.path.join(os.path.dirname(__file__), "scenes", "demo_3d.json")
+    )
+    steps = int(os.environ.get("BENCH_STEPS", "50"))
+
+    scene = tt.load_scene(scene_path)
+    state = tt.build_state(scene)
+    solver = tt.WCSPH(scene)
+    state = solver.bind(state)
+    n = int(jax.device_get(state.num_active))
+
+    step = jax.jit(solver._step_fn)
+    compiled = step.lower(state).compile()
+
+    # warmup (also amortises any data movement)
+    state = compiled(state)
+    jax.block_until_ready(state.x)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state = compiled(state)
+    jax.block_until_ready(state.x)
+    wall = time.perf_counter() - t0
+
+    # sanity: simulation must stay healthy or the number is meaningless
+    m = jax.device_get(solver.metrics(state))
+    if float(m["nan_count"]) != 0:
+        print(json.dumps({"metric": "particle-steps/sec", "value": 0.0,
+                          "unit": "pps", "vs_baseline": 0.0,
+                          "error": "NaN during benchmark"}))
+        return 1
+
+    pps = n * steps / wall
+    print(json.dumps({
+        "metric": "particle-steps/sec (3D dam break, %dk particles)" % (n // 1000),
+        "value": round(pps, 1),
+        "unit": "particle-steps/sec",
+        "vs_baseline": round(pps / NORTH_STAR, 6),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -43,7 +43,7 @@ def main() -> int:
 
     solver_cls = tt.WCSPH if args.solver == "wcsph" else tt.WCSPHLegacy
     solver = solver_cls(scene, compat=args.compat)
-    solver.bind(state)
+    state = solver.bind(state)
     print(f"grid: res={solver.spec.res} run_cap={solver.spec.run_cap} "
           f"dt={solver.params.dt}")
 

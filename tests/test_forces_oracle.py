@@ -63,7 +63,7 @@ def _run_device(state, scene_dim, radius, domain_lo, domain_hi, steps):
         gravitation=(0.0, -9.81, 0.0)[:scene_dim],
     )
     solver = tt.WCSPH(scene, params=params)
-    solver.bind(state)
+    state = solver.bind(state)
     for _ in range(steps):
         state = solver.step(state)
     return jax.device_get(state)

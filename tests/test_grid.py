@@ -41,13 +41,14 @@ def test_neighbor_sets_match_bruteforce(dim, n):
     # Accumulate per-particle neighbor count and index-sum through the sweep.
     tags = jnp.arange(state.capacity, dtype=jnp.int32).astype(jnp.float32)
 
-    def pair(j, r_vec, r2, w, grad_w):
+    def pair(i, j, r_vec, r2, w, grad_w):
         return {"count": jnp.ones_like(r2), "tag_sum": j["tag"]}
 
     acc = neighbor_sweep(
-        runs, sorted_state.x, {"tag": tags}, pair,
+        runs, sorted_state.x, {}, {"tag": tags}, pair,
         {"count": jnp.zeros(state.capacity), "tag_sum": jnp.zeros(state.capacity)},
         spec, h,
+        chunk_size=64,  # exercise the chunked path (N not divisible by 64)
     )
     count = np.asarray(acc["count"])
     tag_sum = np.asarray(acc["tag_sum"])
@@ -115,11 +116,11 @@ def test_csr_bounds_cover_cell0():
     coords = gridops.cell_coords(sorted_state.x, spec)
     runs = gridops.stencil_runs(coords, bounds, spec)
 
-    def pair(j, r_vec, r2, w, grad_w):
+    def pair(i, j, r_vec, r2, w, grad_w):
         return {"count": jnp.ones_like(r2)}
 
     acc = neighbor_sweep(
-        runs, sorted_state.x, {}, pair,
+        runs, sorted_state.x, {}, {}, pair,
         {"count": jnp.zeros(state.capacity)}, spec, 0.5,
     )
     assert np.asarray(acc["count"])[:2].tolist() == [1.0, 1.0]

@@ -1,0 +1,96 @@
+"""Multi-chip tests on the 8-device CPU mesh (conftest sets
+xla_force_host_platform_device_count=8; SURVEY.md §4e): the sharded step
+(distributed sort + ppermute halo exchange + blocked sweeps) must reproduce
+the single-device trajectory."""
+
+import numpy as np
+import jax
+import pytest
+
+import tisph_tpu as tt
+from tisph_tpu.parallel import ShardedWCSPH, make_mesh
+
+
+def _scene(radius=0.02):
+    return tt.scene_from_dict(
+        {
+            "configuration": {
+                "dim": 3,
+                "domainStart": [0.0, 0.0, 0.0],
+                "domainEnd": [1.0, 1.0, 1.0],
+                "particleRadius": radius,
+                "density0": 1000,
+                "gravitation": [0.0, -9.81, 0.0],
+                "c_s": 50.0,
+            },
+            "fluidBlocks": [
+                {"start": [0.15, 0.15, 0.15], "end": [0.55, 0.55, 0.55],
+                 "velocity": [0.2, -1.0, 0.5], "density": 1000.0,
+                 "color": [50, 100, 200]}
+            ],
+            "rigidBodies": [],
+        }
+    )
+
+
+@pytest.mark.parametrize("n_devices", [2, 8])
+def test_sharded_matches_single_device(n_devices):
+    assert len(jax.devices()) >= n_devices
+    scene = _scene()
+    steps = 5
+
+    # single device
+    state1 = tt.build_state(scene)
+    solver1 = tt.WCSPH(scene)
+    state1 = solver1.bind(state1)
+    for _ in range(steps):
+        state1 = solver1.step(state1)
+    out1 = jax.device_get(state1)
+
+    # sharded
+    state2 = tt.build_state(scene)
+    mesh = make_mesh(n_devices)
+    solver2 = ShardedWCSPH(scene, mesh)
+    state2 = solver2.bind(state2)
+    for _ in range(steps):
+        state2 = solver2.step(state2)
+    out2 = jax.device_get(state2)
+
+    n = int(out1.num_active)
+    a1 = np.asarray(out1.material) != -1
+    a2 = np.asarray(out2.material) != -1
+    assert a1.sum() == n and a2.sum() == n
+
+    # Particle identity is not preserved across different sort orders, and
+    # near-identical coordinates make lexsort alignment flaky — match by
+    # nearest neighbor instead (must be a perfect bijection at f32 noise).
+    from scipy.spatial import cKDTree
+
+    x1, v1, r1 = np.asarray(out1.x)[a1], np.asarray(out1.v)[a1], np.asarray(out1.density)[a1]
+    x2, v2, r2 = np.asarray(out2.x)[a2], np.asarray(out2.v)[a2], np.asarray(out2.density)[a2]
+    d, idx = cKDTree(x2).query(x1)
+    assert len(np.unique(idx)) == n, "matching is not a bijection"
+    assert d.max() < 1e-6, f"position divergence {d.max():.2e}"
+    np.testing.assert_allclose(v1, v2[idx], atol=2e-4)
+    np.testing.assert_allclose(r1, r2[idx], rtol=1e-5)
+
+
+def test_sharded_metrics_finite():
+    scene = _scene()
+    state = tt.build_state(scene)
+    mesh = make_mesh(4)
+    solver = ShardedWCSPH(scene, mesh)
+    state = solver.bind(state)
+    state = solver.step(state)
+    m = jax.device_get(solver.metrics(state))
+    assert float(m["nan_count"]) == 0
+    assert np.isfinite(float(m["avg_density_error"]))
+
+
+def test_graft_entry():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out.x)
+    g.dryrun_multichip(8)

@@ -14,7 +14,7 @@ def _run(scene_path, steps, solver_cls=tt.WCSPH):
     scene = tt.load_scene(scene_path)
     state = tt.build_state(scene)
     solver = solver_cls(scene)
-    solver.bind(state)
+    state = solver.bind(state)
     state = solver.rollout(state, steps)
     return scene, solver, jax.device_get(state)
 
@@ -98,7 +98,7 @@ def test_boundary_particles_never_move():
         volume0=scene.particle_volume0,
     )
     solver = tt.WCSPH(scene)
-    solver.bind(state)
+    state = solver.bind(state)
     out = jax.device_get(solver.rollout(state, 40))
     mat = np.asarray(out.material)
     x = np.asarray(out.x)

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from tisph_tpu.config import SceneConfig, SolverParams
 from tisph_tpu.models.state import SimState
 from tisph_tpu.ops import grid as gridops
+from tisph_tpu.ops.neighbors import SweepConfig
 
 
 class SolverBase:
@@ -35,13 +36,28 @@ class SolverBase:
         compat: str = "reference",
         run_cap: int | None = None,
         params: SolverParams | None = None,
+        sweep_cfg: SweepConfig | None = None,
+        boundary_mode: str = "static",
     ):
+        """``sweep_cfg`` selects the neighbor-sweep implementation; None =
+        resolve automatically at :meth:`bind` (blocked windows with measured
+        caps — the TPU path).
+
+        ``boundary_mode``: 'static' computes Akinci boundary volumes once at
+        bind (boundary particles never move, so the per-step recompute the
+        reference does at sph_basev2.py:212 is redundant); 'per_step'
+        reproduces the reference behavior exactly (needed once dynamic
+        rigid bodies exist)."""
+        if boundary_mode not in ("static", "per_step"):
+            raise ValueError(f"unknown boundary_mode {boundary_mode!r}")
         self.scene = scene
         self.params = params if params is not None else SolverParams.from_scene(scene, compat)
         self._run_cap = run_cap
         self.spec: gridops.GridSpec | None = None
         if run_cap is not None:
             self.spec = self._make_spec(run_cap)
+        self.sweep_cfg = sweep_cfg
+        self.boundary_mode = boundary_mode
         self._step_jit: Callable[[SimState], SimState] | None = None
         self._rollout_jit = None
 
@@ -54,15 +70,47 @@ class SolverBase:
             run_cap=run_cap,
         )
 
-    def bind(self, state: SimState) -> "SolverBase":
-        """Resolve the run capacity from the actual initial state (overflow
+    def bind(self, state: SimState) -> SimState:
+        """Resolve static capacities from the actual initial state (overflow
         accounting replaces the reference's fixed caps of 100/1000 neighbors,
-        partice_system.py:25-26 / partice_systemv3.py:26-27)."""
+        partice_system.py:25-26 / partice_systemv3.py:26-27) and precompute
+        static boundary volumes.  Returns the (possibly updated) state."""
         if self.spec is None:
             probe = self._make_spec(run_cap=8)
             cap = gridops.suggest_run_cap(state, probe)
             self.spec = self._make_spec(cap)
-        return self
+        if self.sweep_cfg is None:
+            block = 128
+            wcap = gridops.suggest_window_cap(state, self.spec, block)
+            self.sweep_cfg = SweepConfig(impl="blocked", block_size=block, window_cap=wcap)
+        if self.boundary_mode == "static":
+            state = self._precompute_boundary_volumes(state)
+        return state
+
+    def _precompute_boundary_volumes(self, state: SimState) -> SimState:
+        """One-time Akinci boundary volume pass (see boundary_mode)."""
+        import dataclasses
+
+        from tisph_tpu.ops import forces as F
+
+        if not bool(jax.device_get(jnp.any(state.boundary_mask))):
+            return state  # no boundary particles at all
+
+        spec, params, scfg = self.spec, self.params, self.sweep_cfg
+
+        @jax.jit
+        def _compute(st: SimState) -> SimState:
+            st_sorted, sorted_ids, perm = gridops.sort_state_by_cell(st, spec)
+            nd = gridops.build_neighbor_data(st_sorted, sorted_ids, spec, scfg)
+            vol = F.compute_boundary_volumes(st_sorted, nd, spec, params, scfg)
+            # Scatter volumes back into the caller's (unsorted) order so the
+            # returned state is positionally unchanged.
+            inv = jnp.zeros_like(perm).at[perm].set(
+                jnp.arange(perm.shape[0], dtype=perm.dtype)
+            )
+            return dataclasses.replace(st, volume=jnp.take(vol, inv, axis=0))
+
+        return _compute(state)
 
     # -- to be provided by concrete solvers ------------------------------
     def _step_fn(self, state: SimState) -> SimState:
@@ -72,7 +120,7 @@ class SolverBase:
     def step(self, state: SimState) -> SimState:
         """One solver step (resort + physics + boundary), jit-compiled."""
         if self.spec is None:
-            self.bind(state)
+            state = self.bind(state)
         if self._step_jit is None:
             self._step_jit = jax.jit(self._step_fn)
         return self._step_jit(state)
@@ -80,7 +128,7 @@ class SolverBase:
     def rollout(self, state: SimState, num_steps: int) -> SimState:
         """Run ``num_steps`` steps inside one jitted fori_loop."""
         if self.spec is None:
-            self.bind(state)
+            state = self.bind(state)
         if self._rollout_jit is None:
             def _roll(s: SimState, n: int) -> SimState:
                 return jax.lax.fori_loop(0, n, lambda _, st: self._step_fn(st), s)
@@ -91,7 +139,7 @@ class SolverBase:
         """Structured step metrics (SURVEY.md §5.5: the reference has only
         prints; we expose max velocity, density error, CFL, run overflow)."""
         if self.spec is None:
-            self.bind(state)
+            state = self.bind(state)
         spec, params = self.spec, self.params
 
         @jax.jit
@@ -107,13 +155,21 @@ class SolverBase:
             bounds = gridops.csr_bounds(sorted_ids, spec)
             coords = gridops.cell_coords(sorted_state.x, spec)
             runs = gridops.stencil_runs(coords, bounds, spec)
+            cfg = self.sweep_cfg
+            if cfg is not None and cfg.impl == "gather":
+                occupancy = gridops.max_run_length(runs)
+                occupancy_cap = jnp.asarray(spec.run_cap)
+            else:
+                block = cfg.block_size if cfg is not None else 128
+                occupancy = gridops.max_window_length(runs, block)
+                occupancy_cap = jnp.asarray(cfg.window_cap if cfg is not None else 0)
             return {
                 "max_velocity": vmax,
                 "cfl": vmax * params.dt / params.support_length,
                 "avg_density_error": jnp.sum(rho_err) / nf,
                 "max_density_error": jnp.max(rho_err),
-                "max_run_length": gridops.max_run_length(runs),
-                "run_cap": jnp.asarray(spec.run_cap),
+                "max_run_length": occupancy,
+                "run_cap": occupancy_cap,
                 "num_active": st.num_active,
                 "nan_count": jnp.sum(~jnp.isfinite(st.x)) + jnp.sum(~jnp.isfinite(st.v)),
             }

@@ -25,25 +25,26 @@ from tisph_tpu.ops import grid as gridops
 
 class WCSPH(SolverBase):
     def _step_fn(self, state: SimState) -> SimState:
-        spec, params = self.spec, self.params
+        spec, params, scfg = self.spec, self.params, self.sweep_cfg
 
-        # 1. resort by cell + CSR neighbor structure
+        # 1. resort by cell + neighbor structure
         state, sorted_ids, _ = gridops.sort_state_by_cell(state, spec)
-        bounds = gridops.csr_bounds(sorted_ids, spec)
-        coords = gridops.cell_coords(state.x, spec)
-        runs = gridops.stencil_runs(coords, bounds, spec)
+        nd = gridops.build_neighbor_data(state, sorted_ids, spec, scfg)
 
-        # 2. boundary volumes (recomputed every step, as the reference does)
-        volume = F.compute_boundary_volumes(state, runs, spec, params)
-        state = dataclasses.replace(state, volume=volume)
+        # 2. boundary volumes (static by default — boundary particles never
+        # move; 'per_step' reproduces the reference's per-step recompute,
+        # sph_basev2.py:212)
+        if self.boundary_mode == "per_step":
+            volume = F.compute_boundary_volumes(state, nd, spec, params, scfg)
+            state = dataclasses.replace(state, volume=volume)
 
         # 3-4. density + EOS
-        density = F.compute_densities(state, runs, spec, params)
+        density = F.compute_densities(state, nd, spec, params, scfg)
         rho, pressure = F.compute_pressures(density, params)
         state = dataclasses.replace(state, density=rho, pressure=pressure)
 
         # 5-6. forces + advect
-        d_velocity = F.compute_forces(state, runs, spec, params)
+        d_velocity = F.compute_forces(state, nd, spec, params, scfg)
         state = F.advect(state, d_velocity, params)
 
         # 7. boundary clamp

@@ -29,43 +29,43 @@ from tisph_tpu.models.state import SimState, MATERIAL_FLUID
 from tisph_tpu.ops import forces as F
 from tisph_tpu.ops import grid as gridops
 from tisph_tpu.ops.eos import tait_pressure
-from tisph_tpu.ops.neighbors import neighbor_sweep
+from tisph_tpu.ops.neighbors import sweep as neighbor_sweep
 
 
 class WCSPHLegacy(SolverBase):
     def _step_fn(self, state: SimState) -> SimState:
-        spec, params = self.spec, self.params
+        spec, params, scfg = self.spec, self.params, self.sweep_cfg
         h = params.support_length
         m_v = 0.8 * (2.0 * params.particle_radius) ** params.dim
         mass = m_v * params.density0  # sph_base.py:16
 
         state, sorted_ids, _ = gridops.sort_state_by_cell(state, spec)
-        bounds = gridops.csr_bounds(sorted_ids, spec)
-        coords = gridops.cell_coords(state.x, spec)
-        runs = gridops.stencil_runs(coords, bounds, spec)
+        nd = gridops.build_neighbor_data(state, sorted_ids, spec, scfg)
 
-        volume = F.compute_boundary_volumes(state, runs, spec, params)
-        state = dataclasses.replace(state, volume=volume)
+        if self.boundary_mode == "per_step":
+            volume = F.compute_boundary_volumes(state, nd, spec, params, scfg)
+            state = dataclasses.replace(state, volume=volume)
 
         # --- density (wcsph.py:18-32): rho0 * sum m_V W over fluid j ------
         fluid_j = (state.material == MATERIAL_FLUID).astype(state.x.dtype)
 
-        def density_pair(j, r_vec, r2, w, grad_w):
+        def density_pair(i, j, r_vec, r2, w, grad_w):
             return {"rho": j["fluid"] * m_v * w}
 
         acc = neighbor_sweep(
-            runs, state.x, {"fluid": fluid_j}, density_pair,
-            {"rho": jnp.zeros(state.capacity, state.x.dtype)}, spec, h,
+            nd, state.x, {}, {"fluid": fluid_j}, density_pair,
+            {"rho": jnp.zeros(state.capacity, state.x.dtype)}, spec, h, scfg,
         )
         density = jnp.where(state.fluid_mask, params.density0 * acc["rho"], state.density)
         rho, pressure = tait_pressure(density, params.density0, params.stiffness, params.exponent)
         state = dataclasses.replace(state, density=rho, pressure=pressure)
 
         # --- forces (fused viscosity + pressure) --------------------------
-        rho_i = state.density[:, None]
-        p_over_rho2_i = (state.pressure / (state.density * state.density))[:, None]
-        v_i = state.v[:, None, :]
-        gather = {
+        i_fields = {
+            "p_rho2": state.pressure / (state.density * state.density),
+            "v": state.v,
+        }
+        j_fields = {
             "fluid": fluid_j,
             "bound": (~state.fluid_mask & state.active_mask).astype(state.x.dtype),
             "density": state.density,
@@ -74,9 +74,9 @@ class WCSPHLegacy(SolverBase):
             "v": state.v,
         }
 
-        def force_pair(j, r_vec, r2, w, grad_w):
-            # Coefficients stay (N, cap); expanded only against grad_w.
-            v_ij = v_i - j["v"]
+        def force_pair(i, j, r_vec, r2, w, grad_w):
+            # Coefficients stay (C, cap); expanded only against grad_w.
+            v_ij = i["v"] - j["v"]
             dot = jnp.sum(v_ij * r_vec, axis=-1)
             # viscosity (sph_base.py:77-84), all neighbors
             coef = (
@@ -84,14 +84,14 @@ class WCSPHLegacy(SolverBase):
                 * (mass / j["density"]) * dot / (r2 + 0.01 * h * h)
             )
             # pressure (sph_base.py:63-74, intended boundary term)
-            p_term = p_over_rho2_i + j["pressure"] / (j["density"] ** 2)
+            p_term = i["p_rho2"] + j["pressure"] / (j["density"] ** 2)
             coef = coef - j["fluid"] * (params.density0 * m_v) * p_term
-            coef = coef - j["bound"] * (params.density0 * j["volume"]) * p_over_rho2_i
+            coef = coef - j["bound"] * (params.density0 * j["volume"]) * i["p_rho2"]
             return {"dv": coef[..., None] * grad_w}
 
         gravity = jnp.zeros(params.dim, state.x.dtype).at[params.dim - 1].set(-9.80)
         init = {"dv": jnp.broadcast_to(gravity, state.x.shape).astype(state.x.dtype)}
-        acc = neighbor_sweep(runs, state.x, gather, force_pair, init, spec, h)
+        acc = neighbor_sweep(nd, state.x, i_fields, j_fields, force_pair, init, spec, h, scfg)
         d_velocity = jnp.where(state.fluid_mask[:, None], acc["dv"], 0.0)
 
         state = F.advect(state, d_velocity, params)

@@ -34,11 +34,152 @@ from tisph_tpu.models.state import (
 from tisph_tpu.ops.eos import tait_pressure
 from tisph_tpu.ops.grid import GridSpec
 from tisph_tpu.ops.kernels import cubic_kernel
-from tisph_tpu.ops.neighbors import neighbor_sweep
+from tisph_tpu.ops.neighbors import NeighborData, SweepConfig, sweep
+
+
+
+# ---------------------------------------------------------------------------
+# Pair-interaction kernel factories.
+#
+# Each factory returns (i_fields_of, j_fields_of, pair_fn, init_of) where the
+# *_of callables map a dict of raw particle arrays {x, v, density, pressure,
+# mass, volume, material} to the sweep inputs.  The single-device wrappers
+# below and the multi-chip sharded step (tisph_tpu/parallel/domain.py) share
+# these, so the physics exists exactly once.
+# ---------------------------------------------------------------------------
+
+
+def _flags(material: jax.Array, dtype) -> tuple[jax.Array, jax.Array]:
+    fluid = (material == MATERIAL_FLUID).astype(dtype)
+    bound = (material == MATERIAL_BOUNDARY).astype(dtype)
+    return fluid, bound
+
+
+def boundary_volume_kernel(params: SolverParams, spec: GridSpec):
+    """Akinci boundary volume delta sum (sph_basev2.py:190-201)."""
+    h = params.support_length
+    w0 = cubic_kernel(jnp.zeros(()), h, spec.dim)
+
+    def i_fields_of(f):
+        return {}
+
+    def j_fields_of(f):
+        _, bd = _flags(f["material"], f["x"].dtype)
+        return {"is_b": bd}
+
+    def pair(i, j, r_vec, r2, w, grad_w):
+        return {"delta": j["is_b"] * w}
+
+    def init_of(f):
+        return {"delta": jnp.full(f["x"].shape[:1], w0, f["x"].dtype)}
+
+    return i_fields_of, j_fields_of, pair, init_of
+
+
+def density_kernel(params: SolverParams, spec: GridSpec):
+    """Density summation terms (intended wcsphv2.py:18-34)."""
+    h = params.support_length
+    w0 = cubic_kernel(jnp.zeros(()), h, spec.dim)
+
+    def i_fields_of(f):
+        return {}
+
+    def j_fields_of(f):
+        fl, bd = _flags(f["material"], f["x"].dtype)
+        return {"eff_mass": fl * f["mass"] + bd * (params.density0 * f["volume"])}
+
+    def pair(i, j, r_vec, r2, w, grad_w):
+        return {"rho": j["eff_mass"] * w}
+
+    def init_of(f):
+        return {"rho": f["mass"] * w0}
+
+    return i_fields_of, j_fields_of, pair, init_of
+
+
+def force_kernel(params: SolverParams, spec: GridSpec):
+    """Fused non-pressure + pressure terms (wcsphv2.py:56-93,
+    sph_basev2.py:64-78)."""
+    h = params.support_length
+
+    def i_fields_of(f):
+        return {
+            "rho": f["density"],
+            "p_rho2": f["pressure"] / (f["density"] * f["density"]),
+            "inv_m": 1.0 / jnp.maximum(f["mass"], 1e-30),
+            "v": f["v"],
+        }
+
+    def j_fields_of(f):
+        fl, bd = _flags(f["material"], f["x"].dtype)
+        return {
+            "fluid": fl,
+            "bound": bd,
+            "mass": f["mass"],
+            "volume": f["volume"],
+            "density": f["density"],
+            "pressure": f["pressure"],
+            "v": f["v"],
+        }
+
+    def pair(i, j, r_vec, r2, w, grad_w):
+        # Coefficients stay (B, W); expanded to (B, W, 1) only for the
+        # final multiply against r_vec / grad_w.
+        fl = j["fluid"]
+        bd = j["bound"]
+        m_j = j["mass"]
+        rho_j = j["density"]
+        bvol_j = params.density0 * j["volume"]
+        rho_i = i["rho"]          # (B, 1)
+        p_rho2_i = i["p_rho2"]    # (B, 1)
+        v_ij = i["v"] - j["v"]    # (B, W, dim)
+        dot = jnp.sum(v_ij * r_vec, axis=-1)  # v_ij . x_ij, (B, W)
+        inv_denom = 1.0 / (r2 + 0.01 * h * h)
+        dot_neg = jnp.minimum(dot, 0.0) * inv_denom
+
+        # Cohesion surface tension (wcsphv2.py:61-65).
+        coh_coef = -(params.surface_tension * i["inv_m"]) * fl * m_j * w
+
+        # Monaghan artificial viscosity, fluid j (wcsphv2.py:68-73).
+        nu_f = (2.0 * params.viscosity * h * params.c_s) / (rho_i + rho_j)
+        grad_coef = fl * m_j * nu_f * dot_neg  # = -m_j * pi_f
+
+        # Akinci boundary viscosity, sigma = 0.08 (wcsphv2.py:74-80).
+        nu_b = params.boundary_sigma * h * params.c_s / (2.0 * rho_i)
+        grad_coef = grad_coef + bd * bvol_j * nu_b * dot_neg
+
+        # Symmetric pressure gradient (sph_basev2.py:64-78).
+        p_term_f = p_rho2_i + j["pressure"] / (rho_j * rho_j)
+        grad_coef = grad_coef - fl * m_j * p_term_f
+        grad_coef = grad_coef - bd * bvol_j * p_rho2_i
+
+        return {"dv": coh_coef[..., None] * r_vec + grad_coef[..., None] * grad_w}
+
+    def init_of(f):
+        gravity = jnp.asarray(params.gravity, dtype=f["x"].dtype)
+        return {"dv": jnp.broadcast_to(gravity, f["x"].shape).astype(f["x"].dtype)}
+
+    return i_fields_of, j_fields_of, pair, init_of
+
+
+def state_fields(state: SimState) -> dict:
+    return {
+        "x": state.x,
+        "v": state.v,
+        "density": state.density,
+        "pressure": state.pressure,
+        "mass": state.mass,
+        "volume": state.volume,
+        "material": state.material,
+    }
 
 
 def compute_boundary_volumes(
-    state: SimState, runs: jax.Array, spec: GridSpec, params: SolverParams
+    state: SimState,
+    nd: NeighborData,
+    spec: GridSpec,
+    params: SolverParams,
+    sweep_cfg: SweepConfig = SweepConfig(),
 ) -> jax.Array:
     """Akinci boundary-particle volume V_b = 1 / sum_b W.
 
@@ -46,28 +187,22 @@ def compute_boundary_volumes(
     over *boundary* neighbors only; recomputed every step (:212).  Fluid
     particles keep their previous (V0) volume.
     """
-    h = params.support_length
-    w0 = cubic_kernel(jnp.zeros(()), h, spec.dim)
-    is_boundary_j = state.material == MATERIAL_BOUNDARY
-
-    def pair(j, r_vec, r2, w, grad_w):
-        return {"delta": jnp.where(j["is_b"], w, 0.0)}
-
-    acc = neighbor_sweep(
-        runs,
-        state.x,
-        {"is_b": is_boundary_j},
-        pair,
-        {"delta": jnp.full((state.capacity,), w0)},
-        spec,
-        h,
+    i_of, j_of, pair, init_of = boundary_volume_kernel(params, spec)
+    f = state_fields(state)
+    acc = sweep(
+        nd, state.x, i_of(f), j_of(f), pair, init_of(f),
+        spec, params.support_length, sweep_cfg,
     )
     vol_b = 1.0 / jnp.maximum(acc["delta"], 1e-10)
     return jnp.where(state.boundary_mask, vol_b, state.volume)
 
 
 def compute_densities(
-    state: SimState, runs: jax.Array, spec: GridSpec, params: SolverParams
+    state: SimState,
+    nd: NeighborData,
+    spec: GridSpec,
+    params: SolverParams,
+    sweep_cfg: SweepConfig = SweepConfig(),
 ) -> jax.Array:
     """Density summation for fluid particles.
 
@@ -76,24 +211,11 @@ def compute_densities(
     Boundary particles keep their initial density, as in the reference
     (its density kernel skips material != fluid).
     """
-    h = params.support_length
-    w0 = cubic_kernel(jnp.zeros(()), h, spec.dim)
-    fluid_j = (state.material == MATERIAL_FLUID).astype(state.x.dtype)
-    bound_j = (state.material == MATERIAL_BOUNDARY).astype(state.x.dtype)
-    # Effective "density mass" per j: m_j for fluid, rho0 V_j for boundary.
-    eff_mass = fluid_j * state.mass + bound_j * (params.density0 * state.volume)
-
-    def pair(j, r_vec, r2, w, grad_w):
-        return {"rho": j["eff_mass"] * w}
-
-    acc = neighbor_sweep(
-        runs,
-        state.x,
-        {"eff_mass": eff_mass},
-        pair,
-        {"rho": state.mass * w0},
-        spec,
-        h,
+    i_of, j_of, pair, init_of = density_kernel(params, spec)
+    f = state_fields(state)
+    acc = sweep(
+        nd, state.x, i_of(f), j_of(f), pair, init_of(f),
+        spec, params.support_length, sweep_cfg,
     )
     return jnp.where(state.fluid_mask, acc["rho"], state.density)
 
@@ -107,7 +229,11 @@ def compute_pressures(
 
 
 def compute_forces(
-    state: SimState, runs: jax.Array, spec: GridSpec, params: SolverParams
+    state: SimState,
+    nd: NeighborData,
+    spec: GridSpec,
+    params: SolverParams,
+    sweep_cfg: SweepConfig = SweepConfig(),
 ) -> jax.Array:
     """Fused non-pressure + pressure acceleration for fluid particles.
 
@@ -119,58 +245,12 @@ def compute_forces(
       pressure           -m_j (p_i/rho_i^2 + p_j/rho_j^2) gradW      [fluid j]
       boundary pressure  -rho0 V_j (p_i/rho_i^2) gradW               [boundary j]
     """
-    h = params.support_length
-    dtype = state.x.dtype
-    # i-side per-particle scalars, shaped (N, 1) to broadcast over (N, cap).
-    rho_i = state.density[:, None]
-    p_over_rho2_i = (state.pressure / (state.density * state.density))[:, None]
-    inv_m_i = (1.0 / jnp.maximum(state.mass, 1e-30))[:, None]
-    v_i = state.v[:, None, :]
-
-    gather = {
-        "fluid": (state.material == MATERIAL_FLUID).astype(dtype),
-        "bound": (state.material == MATERIAL_BOUNDARY).astype(dtype),
-        "mass": state.mass,
-        "volume": state.volume,
-        "density": state.density,
-        "pressure": state.pressure,
-        "v": state.v,
-    }
-
-    def pair(j, r_vec, r2, w, grad_w):
-        # All coefficients stay (N, cap); expand to (N, cap, 1) only for the
-        # final multiply against r_vec / grad_w.
-        fl = j["fluid"]
-        bd = j["bound"]
-        m_j = j["mass"]
-        rho_j = j["density"]
-        bvol_j = params.density0 * j["volume"]
-        v_ij = v_i - j["v"]
-        dot = jnp.sum(v_ij * r_vec, axis=-1)  # v_ij . x_ij, (N, cap)
-        inv_denom = 1.0 / (r2 + 0.01 * h * h)
-        dot_neg = jnp.minimum(dot, 0.0) * inv_denom
-
-        # Cohesion surface tension (wcsphv2.py:61-65).
-        coh_coef = -(params.surface_tension * inv_m_i) * fl * m_j * w
-
-        # Monaghan artificial viscosity, fluid j (wcsphv2.py:68-73).
-        nu_f = (2.0 * params.viscosity * h * params.c_s) / (rho_i + rho_j)
-        grad_coef = fl * m_j * nu_f * dot_neg  # = -m_j * pi_f
-
-        # Akinci boundary viscosity, sigma = 0.08 (wcsphv2.py:74-80).
-        nu_b = params.boundary_sigma * h * params.c_s / (2.0 * rho_i)
-        grad_coef = grad_coef + bd * bvol_j * nu_b * dot_neg
-
-        # Symmetric pressure gradient (sph_basev2.py:64-78).
-        p_term_f = p_over_rho2_i + j["pressure"] / (rho_j * rho_j)
-        grad_coef = grad_coef - fl * m_j * p_term_f
-        grad_coef = grad_coef - bd * bvol_j * p_over_rho2_i
-
-        return {"dv": coh_coef[..., None] * r_vec + grad_coef[..., None] * grad_w}
-
-    gravity = jnp.asarray(params.gravity, dtype=dtype)
-    init = {"dv": jnp.broadcast_to(gravity, state.x.shape).astype(dtype)}
-    acc = neighbor_sweep(runs, state.x, gather, pair, init, spec, h)
+    i_of, j_of, pair, init_of = force_kernel(params, spec)
+    f = state_fields(state)
+    acc = sweep(
+        nd, state.x, i_of(f), j_of(f), pair, init_of(f),
+        spec, params.support_length, sweep_cfg,
+    )
     return jnp.where(state.fluid_mask[:, None], acc["dv"], 0.0)
 
 

@@ -151,7 +151,12 @@ def stencil_runs(coords: jax.Array, bounds: jax.Array, spec: GridSpec) -> jax.Ar
     For a particle in cell (c_0..c_{d-1}) and row offset (o_0..o_{d-2}), the
     run covers cells (c+o, z) for z in [c_{d-1}-1, c_{d-1}+1] clipped — one
     contiguous slice of the sorted particle array.  Rows falling outside the
-    grid yield empty runs.
+    grid yield *clamped-empty* runs [s, s): positioned at the nearest valid
+    cell so that, within each stencil row, run starts and ends stay
+    monotonically non-decreasing over the sorted particle order.  That
+    monotonicity is what lets the blocked sweep cover a whole particle
+    block's candidates with ONE contiguous window per row
+    (see ops/neighbors.py).
     """
     offsets = _row_offsets(spec)  # (R, dim-1) static
     res = np.asarray(spec.res)
@@ -166,13 +171,167 @@ def stencil_runs(coords: jax.Array, bounds: jax.Array, spec: GridSpec) -> jax.Ar
     for o in offsets:
         nb = lead + jnp.asarray(o, dtype=jnp.int32)  # (N, dim-1)
         valid = jnp.all((nb >= 0) & (nb < jnp.asarray(res[:-1], dtype=jnp.int32)), axis=-1)
-        base = jnp.sum(nb * jnp.asarray(strides[:-1], dtype=jnp.int32), axis=-1)
+        nb_cl = jnp.clip(nb, 0, jnp.asarray(res[:-1] - 1, dtype=jnp.int32))
+        base = jnp.sum(nb_cl * jnp.asarray(strides[:-1], dtype=jnp.int32), axis=-1)
         c_lo = base + z_lo
         c_hi = base + z_hi
-        start = jnp.where(valid, bounds[jnp.clip(c_lo, 0, spec.num_cells)], 0)
-        end = jnp.where(valid, bounds[jnp.clip(c_hi + 1, 0, spec.num_cells)], 0)
+        start = bounds[jnp.clip(c_lo, 0, spec.num_cells)]
+        end = jnp.where(valid, bounds[jnp.clip(c_hi + 1, 0, spec.num_cells)], start)
         runs.append(jnp.stack([start, end], axis=-1))
     return jnp.stack(runs, axis=1)  # (N, num_rows, 2)
+
+
+def cell_target_ranges(coords: jax.Array, spec: GridSpec) -> jax.Array:
+    """Per-particle stencil-row cell-id ranges: (N, num_rows, 2) int32
+    [c_lo, c_hi] (inclusive).
+
+    For row offset o, a window particle j is a stencil candidate of i iff
+    its flat cell id lies in [flat(lead_i+o, z_i-1), flat(lead_i+o, z_i+1)]
+    (clipped).  This turns the neighbor-membership test into pure arithmetic
+    on cell ids — no CSR bounds array, no per-particle gathers (the
+    reference's for_all_neighbors needs the prefix-sum array for this,
+    partice_systemv4.py:331-345).  Rows outside the grid get the empty
+    range [0, -1].
+    """
+    offsets = _row_offsets(spec)
+    res = np.asarray(spec.res)
+    strides = np.asarray(spec.strides)
+
+    lead = coords[:, : spec.dim - 1]
+    z = coords[:, spec.dim - 1]
+    z_lo = jnp.maximum(z - 1, 0)
+    z_hi = jnp.minimum(z + 1, int(res[-1]) - 1)
+
+    ranges = []
+    for o in offsets:
+        nb = lead + jnp.asarray(o, dtype=jnp.int32)
+        valid = jnp.all((nb >= 0) & (nb < jnp.asarray(res[:-1], dtype=jnp.int32)), axis=-1)
+        base = jnp.sum(nb * jnp.asarray(strides[:-1], dtype=jnp.int32), axis=-1)
+        c_lo = jnp.where(valid, base + z_lo, 0)
+        c_hi = jnp.where(valid, base + z_hi, -1)
+        ranges.append(jnp.stack([c_lo, c_hi], axis=-1))
+    return jnp.stack(ranges, axis=1)
+
+
+def block_window_starts(
+    sorted_ids: jax.Array, coords: jax.Array, spec: GridSpec, block_size: int
+) -> jax.Array:
+    """Per-(block, row) candidate-window start indices: (num_blocks, rows).
+
+    The window for a block/row must begin at the first sorted particle whose
+    cell id >= the row's c_lo of the block's FIRST particle (run starts are
+    monotone in sorted order, so the first particle's start is the minimum).
+    Costs one searchsorted of num_blocks*rows queries — thousands, not the
+    num_cells (~10^5-10^6) a full CSR bounds array would need.
+    """
+    first = coords[::block_size]  # strided slice: first particle per block
+    offsets = _row_offsets(spec)
+    res = np.asarray(spec.res)
+    strides = np.asarray(spec.strides)
+
+    lead = first[:, : spec.dim - 1]
+    z_lo = jnp.maximum(first[:, spec.dim - 1] - 1, 0)
+    queries = []
+    for o in offsets:
+        # Out-of-grid rows are *clamped* (not emptied): the query must stay a
+        # lower bound for every particle in the block, including those whose
+        # row IS valid (monotonicity argument as in stencil_runs).
+        nb = jnp.clip(
+            lead + jnp.asarray(o, dtype=jnp.int32),
+            0,
+            jnp.asarray(res[:-1] - 1, dtype=jnp.int32),
+        )
+        base = jnp.sum(nb * jnp.asarray(strides[:-1], dtype=jnp.int32), axis=-1)
+        queries.append(base + z_lo)
+    flat_q = jnp.stack(queries, axis=1).reshape(-1)
+    starts = jnp.searchsorted(sorted_ids, flat_q, side="left").astype(jnp.int32)
+    return starts.reshape(first.shape[0], spec.num_rows)
+
+
+def max_window_length(runs: jax.Array, block_size: int) -> jax.Array:
+    """Longest per-block candidate window: for blocks of ``block_size``
+    consecutive sorted particles, window = last particle's run end - first
+    particle's run start, maximised over blocks and stencil rows.  This is
+    the quantity the blocked sweep's ``window_cap`` must bound."""
+    n = runs.shape[0]
+    nb = -(-n // block_size)
+    pad = nb * block_size - n
+    if pad:
+        runs = jnp.concatenate([runs, jnp.zeros((pad,) + runs.shape[1:], runs.dtype)])
+    blocks = runs.reshape(nb, block_size, runs.shape[1], 2)
+    win = blocks[:, -1, :, 1] - blocks[:, 0, :, 0]
+    return jnp.max(win)
+
+
+def _host_runs(state: SimState, spec: GridSpec) -> np.ndarray:
+    """Numpy replica of sort -> bounds -> stencil runs for one-time,
+    host-side capacity measurement (avoids a TPU compile at bind time)."""
+    x = np.asarray(jax.device_get(state.x), dtype=np.float64)
+    mat = np.asarray(jax.device_get(state.material))
+    start = np.asarray(spec.domain_start)
+    res = np.asarray(spec.res)
+    strides = np.asarray(spec.strides)
+    coords = np.clip(
+        np.floor((x - start) / spec.cell_size).astype(np.int64), 0, res - 1
+    )
+    ids = (coords * strides).sum(axis=-1)
+    ids[mat == MATERIAL_INVALID] = spec.num_cells
+    order = np.argsort(ids, kind="stable")
+    sorted_ids = ids[order]
+    coords = coords[order]
+    bounds = np.searchsorted(sorted_ids, np.arange(spec.num_cells + 1), side="left")
+
+    offsets = _row_offsets(spec)
+    lead = coords[:, : spec.dim - 1]
+    z = coords[:, spec.dim - 1]
+    z_lo = np.maximum(z - 1, 0)
+    z_hi = np.minimum(z + 1, int(res[-1]) - 1)
+    runs = np.zeros((x.shape[0], len(offsets), 2), dtype=np.int64)
+    for r, o in enumerate(offsets):
+        nb = lead + o
+        valid = ((nb >= 0) & (nb < res[:-1])).all(axis=-1)
+        nb_cl = np.clip(nb, 0, res[:-1] - 1)
+        base = (nb_cl * strides[:-1]).sum(axis=-1)
+        s = bounds[np.clip(base + z_lo, 0, spec.num_cells)]
+        e = np.where(valid, bounds[np.clip(base + z_hi + 1, 0, spec.num_cells)], s)
+        runs[:, r, 0] = s
+        runs[:, r, 1] = e
+    return runs
+
+
+def suggest_window_cap(state: SimState, spec: GridSpec, block_size: int, slack: float = 1.5) -> int:
+    """Measure the max block window of the initial configuration and pad
+    with slack, rounded to a multiple of 128 (lane width).  Host-side."""
+    runs = _host_runs(state, spec)
+    n = runs.shape[0]
+    nb = -(-n // block_size)
+    pad = nb * block_size - n
+    if pad:
+        runs = np.concatenate([runs, np.zeros((pad,) + runs.shape[1:], runs.dtype)])
+    blocks = runs.reshape(nb, block_size, runs.shape[1], 2)
+    m = int((blocks[:, -1, :, 1] - blocks[:, 0, :, 0]).max())
+    return max(128, int(-(-(m * slack) // 128) * 128))
+
+
+def build_neighbor_data(sorted_state, sorted_ids: jax.Array, spec: GridSpec, cfg):
+    """Build the per-step neighbor structure for the configured sweep impl.
+
+    Called once per solver step right after the resort (the reference's
+    ``ps.update()`` analog) and shared by every sweep in the step.
+    """
+    from tisph_tpu.ops.neighbors import NeighborData  # avoid cycle
+
+    coords = cell_coords(sorted_state.x, spec)
+    if cfg.impl == "gather":
+        bounds = csr_bounds(sorted_ids, spec)
+        return NeighborData(runs=stencil_runs(coords, bounds, spec))
+    if cfg.impl == "blocked":
+        return NeighborData(
+            cell_ranges=cell_target_ranges(coords, spec),
+            wstarts=block_window_starts(sorted_ids, coords, spec, cfg.block_size),
+            sorted_ids=sorted_ids,
+        )
+    raise ValueError(f"unknown sweep impl {cfg.impl!r}")
 
 
 def max_run_length(runs: jax.Array) -> jax.Array:
@@ -182,12 +341,32 @@ def max_run_length(runs: jax.Array) -> jax.Array:
     return jnp.max(runs[..., 1] - runs[..., 0])
 
 
+def suggest_halo_rows(
+    state: SimState, spec: GridSpec, shard_rows: int, slack: float = 2.0
+) -> int:
+    """Measure how many sorted rows a shard's stencil candidates reach into
+    its neighbors (host-side, at bind).
+
+    With equal-row sharding of the sorted array, shard d owns rows
+    [d*P, (d+1)*P); its particles' candidate segments [start, end) can
+    extend up to one x/y cell row away in flat-id order — a data-dependent
+    number of ROWS.  The halo must cover
+    max(own_start - min(run starts), max(run ends) - own_end) over shards.
+    """
+    runs = _host_runs(state, spec)
+    n = runs.shape[0]
+    worst = 0
+    for s0 in range(0, n, shard_rows):
+        s1 = min(s0 + shard_rows, n)
+        starts = runs[s0:s1, :, 0]
+        ends = runs[s0:s1, :, 1]
+        worst = max(worst, int(s0 - starts.min()), int(ends.max() - s1))
+    return max(128, int(-(-(worst * slack) // 128) * 128))
+
+
 def suggest_run_cap(state: SimState, spec: GridSpec, slack: float = 1.5) -> int:
     """Measure the max run length of the initial configuration and pad with
     slack, rounded to a multiple of 8.  Host-side, at build time."""
-    sorted_state, sorted_ids, _ = sort_state_by_cell(state, spec)
-    bounds = csr_bounds(sorted_ids, spec)
-    coords = cell_coords(sorted_state.x, spec)
-    runs = stencil_runs(coords, bounds, spec)
-    m = int(jax.device_get(max_run_length(runs)))
+    runs = _host_runs(state, spec)
+    m = int((runs[..., 1] - runs[..., 0]).max())
     return max(8, int(-(-(m * slack) // 8) * 8))

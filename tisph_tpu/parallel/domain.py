@@ -1,0 +1,340 @@
+"""Sharded WCSPH step: spatial domain decomposition via Mesh + shard_map.
+
+Design (see package docstring): the globally cell-sorted particle array is
+sharded evenly over the mesh axis; shards are spatial slabs because flat
+cell ids are x-major.  One step =
+
+  1. [global, SPMD]  flat cell ids -> multi-operand ``lax.sort`` of the
+     whole SoA (XLA's distributed sort; this both rebuilds the neighbor
+     structure AND migrates particles between shards — the distributed
+     generalisation of the reference's counting-sort resort,
+     partice_systemv4.py:206-258)
+  2. [shard_map]     ppermute halo exchange of the sorted array's edge
+     slices (one fixed-width slice to each neighbor over ICI)
+  3. [shard_map]     blocked neighbor sweeps: local i-particles against the
+     halo-extended candidate array (density)
+  4. [local]         Tait EOS
+  5. [shard_map]     second halo exchange of (density, pressure) only, then
+     the fused force sweep
+  6. [local]         symplectic Euler + domain clamp
+
+Collectives per step: 4 ppermutes (2 halo directions x 2 exchanges) plus
+whatever XLA emits for the distributed sort.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tisph_tpu.config import SceneConfig, SolverParams
+from tisph_tpu.models.state import SimState, MATERIAL_INVALID
+from tisph_tpu.models.solver_base import SolverBase
+from tisph_tpu.ops import forces as F
+from tisph_tpu.ops import grid as gridops
+from tisph_tpu.ops.eos import tait_pressure
+from tisph_tpu.ops.neighbors import NeighborData, SweepConfig, neighbor_sweep_blocked
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "shard") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+_FIELD_KEYS = ("x", "v", "density", "pressure", "mass", "volume", "material")
+
+
+class ShardedWCSPH(SolverBase):
+    """WCSPH over a 1-D device mesh.  Same physics (shares the pair-kernel
+    factories with the single-chip solver), sharded execution."""
+
+    def __init__(
+        self,
+        scene: SceneConfig,
+        mesh: Mesh,
+        compat: str = "reference",
+        params: SolverParams | None = None,
+        sweep_cfg: SweepConfig | None = None,
+        halo: int | None = None,
+    ):
+        super().__init__(scene, compat=compat, params=params, sweep_cfg=sweep_cfg)
+        self.mesh = mesh
+        self.axis = mesh.axis_names[0]
+        self.n_shards = mesh.devices.size
+        self.halo = halo  # defaults to window_cap at bind
+        self._sharding = NamedSharding(mesh, P(self.axis))
+        self._replicated = NamedSharding(mesh, P())
+
+    # ------------------------------------------------------------------
+    def bind(self, state: SimState) -> SimState:
+        """Resolve caps, precompute static boundary volumes, pad capacity to
+        a shard-divisible size, and device_put with the particle-axis
+        sharding."""
+        if self.spec is None:
+            probe = self._make_spec(run_cap=8)
+            self.spec = self._make_spec(gridops.suggest_run_cap(state, probe))
+        if self.sweep_cfg is None:
+            block = 128
+            wcap = gridops.suggest_window_cap(state, self.spec, block)
+            self.sweep_cfg = SweepConfig(impl="blocked", block_size=block, window_cap=wcap)
+        state = self._precompute_boundary_volumes(state)
+
+        # pad capacity so each shard gets an equal, block-divisible chunk
+        unit = self.n_shards * self.sweep_cfg.block_size
+        cap = int(-(-state.capacity // unit) * unit)
+        if cap != state.capacity:
+            pad = cap - state.capacity
+
+            def pad_leaf(a):
+                if a.ndim == 0:
+                    return a
+                fill = MATERIAL_INVALID if a.dtype in (jnp.int32, jnp.int64) else 0
+                return jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1), constant_values=fill)
+
+            state = jax.tree.map(pad_leaf, state)
+
+        self._shard_rows = cap // self.n_shards
+        if self.halo is None:
+            # halo depth in rows: furthest stencil reach across any shard
+            # boundary (measured; grows with per-x-slab particle counts),
+            # capped at the whole remainder of the array
+            h = gridops.suggest_halo_rows(state, self.spec, self._shard_rows)
+            self.halo = min(h, (self.n_shards - 1) * self._shard_rows) if self.n_shards > 1 else 128
+        return self.shard_state(state)
+
+    def shard_state(self, state: SimState) -> SimState:
+        return jax.tree.map(
+            lambda a: jax.device_put(
+                a, self._sharding if getattr(a, "ndim", 0) >= 1 else self._replicated
+            ),
+            state,
+        )
+
+    # ------------------------------------------------------------------
+    def _halo_exchange(self, arrs: dict, h: int, hops: int) -> dict:
+        """Return halo-extended copies: concat(left_halo[h], arr, right_halo[h]).
+
+        A particle's stencil candidates can sit up to ~one x-cell-row of
+        particles away in sorted order, so the halo depth ``h`` (measured at
+        bind via grid.suggest_halo_rows) may exceed one neighbor's chunk.
+        The exchange therefore runs ``hops`` ppermute rounds, each shifting
+        full chunks one position around the (non-wrapping) ring, and slices
+        the needed h rows from the concatenation.  The 'ids' channel of
+        never-received edge chunks is neutralised to -1 (left, below every
+        real id) / num_cells (right, the inactive sentinel) so window
+        searchsorted stays correct and masks select nothing there.
+        """
+        ax = self.axis
+        d = self.n_shards
+        fwd = [(i, i + 1) for i in range(d - 1)]  # shift +1: recv from left
+        bwd = [(i + 1, i) for i in range(d - 1)]  # shift -1: recv from right
+        idx = jax.lax.axis_index(ax)
+
+        def shift(a, perm):
+            return jax.lax.ppermute(a, ax, perm) if d > 1 else jnp.zeros_like(a)
+
+        out = {}
+        keys = list(arrs.keys())
+        left_chunks: dict[str, list] = {k: [] for k in keys}
+        right_chunks: dict[str, list] = {k: [] for k in keys}
+        cur_l = dict(arrs)
+        cur_r = dict(arrs)
+        for hop in range(1, hops + 1):
+            for k in keys:
+                cur_l[k] = shift(cur_l[k], fwd)
+                cur_r[k] = shift(cur_r[k], bwd)
+            # neutralise chunks that fell off the edge
+            l_ids = jnp.where(idx - hop >= 0, cur_l["ids"], -1)
+            r_ids = jnp.where(idx + hop < d, cur_r["ids"], self.spec.num_cells)
+            for k in keys:
+                lv = cur_l[k] if k != "ids" else l_ids
+                rv = cur_r[k] if k != "ids" else r_ids
+                left_chunks[k].insert(0, lv)   # order: ... d-2, d-1
+                right_chunks[k].append(rv)     # order: d+1, d+2 ...
+        for k in keys:
+            left = jnp.concatenate(left_chunks[k], axis=0)[-h:]
+            right = jnp.concatenate(right_chunks[k], axis=0)[:h]
+            out[k] = jnp.concatenate([left, arrs[k], right], axis=0)
+        return out
+
+    def _extend(self, f_local: dict, ids_l, hn: int, hops: int, shard_rows: int):
+        """Halo-extend the local arrays; returns (f_ext, ids_ext, i_offset).
+
+        Normal path: k-hop ppermute halo (hops small).  When the halo would
+        need more than 2 hops (tiny shards relative to the stencil reach —
+        dry runs, small scenes), a single tiled all_gather of the whole
+        sorted array is cheaper than a deep ppermute chain; the i side is
+        then my chunk at offset axis_index * shard_rows.
+        """
+        if hops <= 2:
+            ext = self._halo_exchange({**f_local, "ids": ids_l}, hn, hops)
+            return {k: ext[k] for k in _FIELD_KEYS}, ext["ids"], hn
+        gathered = {
+            k: jax.lax.all_gather(v, self.axis, tiled=True)
+            for k, v in {**f_local, "ids": ids_l}.items()
+        }
+        off = jax.lax.axis_index(self.axis) * shard_rows
+        return {k: gathered[k] for k in _FIELD_KEYS}, gathered["ids"], off
+
+    def _step_fn(self, state: SimState) -> SimState:
+        spec, params, scfg = self.spec, self.params, self.sweep_cfg
+        ax = self.axis
+        hn = self.halo
+        shard_rows = self._shard_rows
+        hops = max(1, -(-hn // shard_rows))
+        axis_spec = P(ax)
+
+        # ---- phase A: global resort (distributed sort = migration) -------
+        coords = gridops.cell_coords(state.x, spec)
+        ids = gridops.flat_cell_ids(coords, state.material, spec)
+        # multi-operand sort: key = ids, payload = every per-particle column
+        cols: list[jax.Array] = []
+        layout: list[tuple[str, int]] = []
+
+        def add(name, a):
+            if a.ndim == 1:
+                cols.append(a)
+                layout.append((name, -1))
+            else:
+                for c in range(a.shape[1]):
+                    cols.append(a[:, c])
+                    layout.append((name, c))
+
+        add("x", state.x)
+        add("v", state.v)
+        add("density", state.density)
+        add("pressure", state.pressure)
+        add("mass", state.mass)
+        add("volume", state.volume)
+        add("material", state.material)
+        add("color", state.color)
+        add("object_id", state.object_id)
+        sorted_all = jax.lax.sort((ids, *cols), num_keys=1, is_stable=True)
+        sorted_ids = sorted_all[0]
+        rebuilt: dict[str, list[jax.Array]] = {}
+        for (name, c), col in zip(layout, sorted_all[1:]):
+            rebuilt.setdefault(name, []).append(col)
+        new_fields = {
+            name: (cs[0] if len(cs) == 1 else jnp.stack(cs, axis=1))
+            for name, cs in rebuilt.items()
+        }
+        state = dataclasses.replace(state, **new_fields)
+        # keep the particle axis evenly sharded after the sort
+        state = jax.tree.map(
+            lambda a: jax.lax.with_sharding_constraint(
+                a, self._sharding if getattr(a, "ndim", 0) >= 1 else self._replicated
+            ),
+            state,
+        )
+        sorted_ids = jax.lax.with_sharding_constraint(sorted_ids, self._sharding)
+
+        # ---- phase B: sharded halo sweeps --------------------------------
+        dens_k = F.density_kernel(params, spec)
+        force_k = F.force_kernel(params, spec)
+
+        @partial(
+            jax.shard_map,
+            mesh=self.mesh,
+            in_specs=(axis_spec,) + (axis_spec,) * len(_FIELD_KEYS),
+            out_specs=axis_spec,
+            check_vma=False,
+        )
+        def density_shard(ids_l, x, v, density, pressure, mass, volume, material):
+            f_local = dict(
+                x=x, v=v, density=density, pressure=pressure,
+                mass=mass, volume=volume, material=material,
+            )
+            f_ext, ids_e, off = self._extend(f_local, ids_l, hn, hops, shard_rows)
+            coords_l = gridops.cell_coords(x, spec)
+            nd = NeighborData(
+                cell_ranges=gridops.cell_target_ranges(coords_l, spec),
+                wstarts=gridops.block_window_starts(
+                    ids_e, coords_l, spec, scfg.block_size
+                ),
+                sorted_ids=ids_e,
+            )
+            acc = neighbor_sweep_blocked(
+                nd.cell_ranges, nd.wstarts, nd.sorted_ids, f_ext["x"],
+                dens_k[0](f_local), dens_k[1](f_ext), dens_k[2],
+                dens_k[3](f_local),
+                spec, params.support_length, scfg.block_size, scfg.window_cap,
+                x_i=x, i_offset=off,
+            )
+            rho = acc["rho"]
+            fluid = material == 1
+            return jnp.where(fluid, rho, density)
+
+        f = F.state_fields(state)
+        density = density_shard(sorted_ids, *[f[k] for k in _FIELD_KEYS])
+        rho, pressure = tait_pressure(
+            density, params.density0, params.stiffness, params.exponent
+        )
+        state = dataclasses.replace(state, density=rho, pressure=pressure)
+
+        @partial(
+            jax.shard_map,
+            mesh=self.mesh,
+            in_specs=(axis_spec,) + (axis_spec,) * len(_FIELD_KEYS),
+            out_specs=axis_spec,
+            check_vma=False,
+        )
+        def force_shard(ids_l, x, v, density, pressure, mass, volume, material):
+            f_local = dict(
+                x=x, v=v, density=density, pressure=pressure,
+                mass=mass, volume=volume, material=material,
+            )
+            f_ext, ids_e, off = self._extend(f_local, ids_l, hn, hops, shard_rows)
+            coords_l = gridops.cell_coords(x, spec)
+            nd = NeighborData(
+                cell_ranges=gridops.cell_target_ranges(coords_l, spec),
+                wstarts=gridops.block_window_starts(
+                    ids_e, coords_l, spec, scfg.block_size
+                ),
+                sorted_ids=ids_e,
+            )
+            acc = neighbor_sweep_blocked(
+                nd.cell_ranges, nd.wstarts, nd.sorted_ids, f_ext["x"],
+                force_k[0](f_local), force_k[1](f_ext), force_k[2],
+                force_k[3](f_local),
+                spec, params.support_length, scfg.block_size, scfg.window_cap,
+                x_i=x, i_offset=off,
+            )
+            fluid = (material == 1)[:, None]
+            return jnp.where(fluid, acc["dv"], 0.0)
+
+        f = F.state_fields(state)
+        d_velocity = force_shard(sorted_ids, *[f[k] for k in _FIELD_KEYS])
+
+        # ---- local phases -------------------------------------------------
+        state = F.advect(state, d_velocity, params)
+        return F.enforce_domain_boundary(state, params)
+
+    # ------------------------------------------------------------------
+    def metrics(self, state: SimState) -> dict[str, jax.Array]:
+        params = self.params
+
+        @jax.jit
+        def _metrics(st: SimState):
+            fluid = st.fluid_mask
+            speed = jnp.sqrt(jnp.sum(st.v * st.v, axis=-1))
+            vmax = jnp.max(jnp.where(fluid, speed, 0.0))
+            rho_err = jnp.where(
+                fluid, jnp.abs(st.density - params.density0) / params.density0, 0.0
+            )
+            nf = jnp.maximum(jnp.sum(fluid), 1)
+            return {
+                "max_velocity": vmax,
+                "cfl": vmax * params.dt / params.support_length,
+                "avg_density_error": jnp.sum(rho_err) / nf,
+                "num_active": st.num_active,
+                "nan_count": jnp.sum(~jnp.isfinite(st.x)) + jnp.sum(~jnp.isfinite(st.v)),
+            }
+
+        return _metrics(state)
