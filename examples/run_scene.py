@@ -33,6 +33,13 @@ def main() -> int:
     ap.add_argument("--out", default=None, help="frame output directory")
     ap.add_argument("--format", choices=["npz", "png"], default="npz")
     ap.add_argument("--metrics-every", type=int, default=10)
+    ap.add_argument("--bpa", action="store_true",
+                    help="2D scenes: extract the fluid boundary with ball "
+                         "pivoting on the final frame and save it as *.bpa.npz")
+    ap.add_argument("--checkpoint", default=None,
+                    help="write a full-state checkpoint here at the end")
+    ap.add_argument("--resume", default=None,
+                    help="resume from a checkpoint written by --checkpoint")
     args = ap.parse_args()
 
     scene = tt.load_scene(args.scene)
@@ -44,8 +51,19 @@ def main() -> int:
     solver_cls = tt.WCSPH if args.solver == "wcsph" else tt.WCSPHLegacy
     solver = solver_cls(scene, compat=args.compat)
     state = solver.bind(state)
+    if args.resume:
+        from tisph_tpu import checkpoint
+        state = checkpoint.load_npz(args.resume)
+        print(f"resumed from {args.resume}: {int(state.num_active)} particles")
     print(f"grid: res={solver.spec.res} run_cap={solver.spec.run_cap} "
-          f"dt={solver.params.dt}")
+          f"dt={solver.params.dt} sweep={solver.sweep_cfg.impl}")
+
+    emitters = []
+    if scene.emitters:
+        from tisph_tpu.geometry.emitter import make_emitter_state
+        emitters = [make_emitter_state(em, scene) for em in scene.emitters]
+        print(f"emitters: {len(emitters)} "
+              f"(batch sizes {[e.batch_size for e in emitters]})")
 
     exporter = None
     if args.out:
@@ -54,7 +72,14 @@ def main() -> int:
 
     t0 = time.time()
     for frame in range(args.steps):
-        state = solver.rollout(state, args.substeps)
+        if emitters:
+            from tisph_tpu.geometry.emitter import maybe_emit
+            for _ in range(args.substeps):
+                for i, es in enumerate(emitters):
+                    state, emitters[i] = maybe_emit(state, es, scene.particle_volume0)
+                state = solver.step(state)
+        else:
+            state = solver.rollout(state, args.substeps)
         if exporter is not None:
             exporter.save(state, frame)
         if args.metrics_every and frame % args.metrics_every == 0:
@@ -80,6 +105,26 @@ def main() -> int:
     if exporter is not None:
         exporter.close()
         print(f"frames written to {args.out}")
+    if args.checkpoint:
+        from tisph_tpu import checkpoint
+        checkpoint.save_npz(state, args.checkpoint)
+        print(f"checkpoint written to {args.checkpoint}")
+    if args.bpa:
+        import numpy as np
+        from tisph_tpu.models.state import state_to_host
+        from tisph_tpu.render.bpa2d import extract_boundary_2d
+        host = state_to_host(state)
+        fluid = host["material"] == 1
+        pts = host["x"][fluid][:, :2]
+        b = extract_boundary_2d(pts, radius=3.0 * scene.particle_radius)
+        out = (args.out or ".") + "/boundary.bpa.npz"
+        np.savez_compressed(
+            out, points=b.points, edges=b.edges,
+            loop_sizes=np.asarray([len(l) for l in b.loops]),
+            loops=np.concatenate(b.loops) if b.loops else np.zeros(0, np.int64),
+        )
+        print(f"BPA boundary: {len(b.loops)} loops, {b.edges.shape[0]} edges "
+              f"-> {out}")
     return 0
 
 

@@ -1,0 +1,192 @@
+"""Auxiliary subsystems: BPA surface reconstruction, DSU clustering,
+checkpoint/resume, emitters, wireframes, native library parity."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import tisph_tpu as tt
+
+
+def _circle_points(n=12, cx=50.0, cy=50.0, r=30.0):
+    th = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    return np.stack([cx + r * np.cos(th), cy + r * np.sin(th)], axis=1)
+
+
+class TestClustering:
+    def test_two_groups(self):
+        from tisph_tpu.utils.dsu import cluster_points
+
+        pts = np.concatenate([_circle_points(), _circle_points(cx=400.0)])
+        groups = cluster_points(pts, 50.0)
+        assert sorted(len(g) for g in groups) == [12, 12]
+        all_idx = sorted(i for g in groups for i in g)
+        assert all_idx == list(range(24))
+
+    def test_native_matches_numpy(self):
+        from tisph_tpu.utils.dsu import cluster_points
+
+        rng = np.random.default_rng(0)
+        pts = rng.uniform(0, 10, size=(300, 2))
+        g_native = cluster_points(pts, 0.7, use_native=True)
+        g_numpy = cluster_points(pts, 0.7, use_native=False)
+        canon = lambda gs: sorted(tuple(sorted(g)) for g in gs)
+        assert canon(g_native) == canon(g_numpy)
+
+    def test_dsu_basic(self):
+        from tisph_tpu.utils.dsu import DSU
+
+        d = DSU(5)
+        d.union(0, 1)
+        d.union(3, 4)
+        assert d.find(0) == d.find(1)
+        assert d.find(0) != d.find(3)
+        assert sorted(len(g) for g in d.groups()) == [1, 2, 2]
+
+
+class TestBPA2D:
+    def test_circle_boundary(self):
+        """The reference's own 12-point circle demo (render/bpa/d2.py:154):
+        the walk must visit all 12 hull points."""
+        from tisph_tpu.render.bpa2d import extract_boundary_2d
+
+        pts = _circle_points()
+        b = extract_boundary_2d(pts, radius=50.0)
+        assert len(b.loops) == 1
+        assert len(b.loops[0]) == 12
+        assert b.edges.shape == (11, 2)
+        fans = b.triangle_fans()
+        assert fans[0].shape == (10, 3)
+
+    def test_native_matches_numpy_walk(self):
+        from tisph_tpu.render.bpa2d import extract_boundary_2d
+
+        pts = _circle_points(n=24)
+        b1 = extract_boundary_2d(pts, radius=50.0, use_native=True)
+        b2 = extract_boundary_2d(pts, radius=50.0, use_native=False)
+        assert all(np.array_equal(a, c) for a, c in zip(b1.loops, b2.loops))
+
+    def test_two_blobs(self):
+        from tisph_tpu.render.bpa2d import extract_boundary_2d
+
+        pts = np.concatenate([_circle_points(), _circle_points(cx=400.0)])
+        b = extract_boundary_2d(pts, radius=50.0)
+        assert len(b.loops) == 2
+
+
+class TestCheckpoint:
+    def _small_state(self):
+        scene = tt.load_scene("scenes/demo_2d.json")
+        return scene, tt.build_state(scene)
+
+    def test_npz_roundtrip(self, tmp_path):
+        from tisph_tpu import checkpoint
+
+        scene, state = self._small_state()
+        solver = tt.WCSPH(scene)
+        state = solver.bind(state)
+        state = solver.step(state)
+        p = tmp_path / "ckpt.npz"
+        checkpoint.save_npz(state, p)
+        restored = checkpoint.load_npz(p)
+        for k in ("x", "v", "density", "pressure", "mass", "volume", "material"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(state, k)), np.asarray(getattr(restored, k))
+            )
+        # resume: stepping the restored state works and matches
+        out_a = jax.device_get(solver.step(state))
+        out_b = jax.device_get(solver.step(restored))
+        np.testing.assert_array_equal(np.asarray(out_a.x), np.asarray(out_b.x))
+
+    def test_orbax_roundtrip(self, tmp_path):
+        pytest.importorskip("orbax.checkpoint")
+        from tisph_tpu import checkpoint
+
+        scene, state = self._small_state()
+        p = tmp_path / "orbax_ckpt"
+        checkpoint.save_orbax(state, p)
+        restored = checkpoint.load_orbax(p, state)
+        np.testing.assert_array_equal(np.asarray(state.x), np.asarray(restored.x))
+
+
+class TestEmitter:
+    def test_emission_into_pool(self):
+        from tisph_tpu.geometry.emitter import make_emitter_state, maybe_emit
+
+        raw = {
+            "configuration": {
+                "dim": 2, "domainStart": [0, 0], "domainEnd": [2, 2],
+                "particleRadius": 0.02, "density0": 1000,
+                "gravitation": [0, -9.81], "c_s": 50.0,
+            },
+            "fluidBlocks": [
+                {"start": [0.5, 0.5], "end": [0.7, 0.7], "velocity": [0, 0],
+                 "density": 1000.0, "color": [50, 100, 200]}
+            ],
+            "emitters": [
+                {"start": [1.0, 1.8], "end": [1.1, 1.8001],
+                 "velocity": [0.0, -2.0], "interval": 2, "maxParticles": 64}
+            ],
+        }
+        scene = tt.scene_from_dict(raw)
+        state = tt.build_state(scene, extra_capacity=256)
+        es = make_emitter_state(scene.emitters[0], scene)
+        n0 = int(state.num_active)
+        b = es.batch_size
+        assert b > 0
+
+        emit = jax.jit(lambda s, e: maybe_emit(s, e, scene.particle_volume0))
+        state, es = emit(state, es)  # step 0: due
+        assert int(state.num_active) == n0 + b
+        state, es = emit(state, es)  # step 1: not due
+        assert int(state.num_active) == n0 + b
+        state, es = emit(state, es)  # step 2: due
+        assert int(state.num_active) == n0 + 2 * b
+        new = np.asarray(state.x)[n0:n0 + b]
+        assert (new[:, 1] > 1.7).all()
+        assert (np.asarray(state.material)[n0:n0 + 2 * b] == 1).all()
+
+    def test_emitted_particles_simulate(self):
+        from tisph_tpu.geometry.emitter import make_emitter_state, maybe_emit
+
+        raw = {
+            "configuration": {
+                "dim": 2, "domainStart": [0, 0], "domainEnd": [2, 2],
+                "particleRadius": 0.02, "density0": 1000,
+                "gravitation": [0, -9.81], "c_s": 50.0,
+            },
+            "fluidBlocks": [
+                {"start": [0.5, 0.3], "end": [0.9, 0.6], "velocity": [0, 0],
+                 "density": 1000.0, "color": [50, 100, 200]}
+            ],
+            "emitters": [
+                {"start": [1.0, 1.5], "end": [1.08, 1.5001],
+                 "velocity": [0.0, -1.0], "interval": 10, "maxParticles": 40}
+            ],
+        }
+        scene = tt.scene_from_dict(raw)
+        state = tt.build_state(scene, extra_capacity=128)
+        solver = tt.WCSPH(scene)
+        state = solver.bind(state)
+        es = make_emitter_state(scene.emitters[0], scene)
+        for _ in range(30):
+            state, es = maybe_emit(state, es, scene.particle_volume0)
+            state = solver.step(state)
+        out = jax.device_get(state)
+        assert int(out.num_active) > 0
+        act = np.asarray(out.material) != -1
+        assert np.isfinite(np.asarray(out.x)[act]).all()
+        assert int(es.emitted) > 0
+
+
+def test_domain_wireframe():
+    from tisph_tpu.utils.lines import domain_wireframe
+
+    pts, edges = domain_wireframe([0, 0, 0], [5, 3, 2])
+    assert pts.shape == (8, 3)
+    assert edges.shape == (12, 2)
+    lengths = np.linalg.norm(pts[edges[:, 0]] - pts[edges[:, 1]], axis=1)
+    assert sorted(np.unique(np.round(lengths, 5)).tolist()) == [2.0, 3.0, 5.0]
+    pts2, edges2 = domain_wireframe([0, 0], [5, 3])
+    assert pts2.shape == (4, 2) and edges2.shape == (4, 2)

@@ -104,6 +104,41 @@ def test_sort_is_stable_and_complete():
     assert (np.sort(orig_ids) == ids).all()
 
 
+def test_blocked_sweep_edge_cells_complete():
+    """Regression: per-row window starts are NOT monotone at clamped grid
+    edges (two leads can clip onto the same edge cell with decreasing z);
+    first-particle sampling dropped edge-cell neighbors.  Verify neighbor
+    counts against brute force for a cloud hugging the domain corner."""
+    dim = 3
+    h = 0.16
+    spec = gridops.make_grid_spec(dim, [0.0] * 3, [1.0] * 3, h, run_cap=512)
+    # dense cloud in the low corner -> many particles in edge cells
+    state = _random_state(600, dim, seed=11, lo=0.0, hi=0.4)
+    sorted_state, sorted_ids, _ = gridops.sort_state_by_cell(state, spec)
+    coords = gridops.cell_coords(sorted_state.x, spec)
+    nd_ranges = gridops.cell_target_ranges(coords, spec)
+    wstarts = gridops.block_window_starts(sorted_ids, coords, spec, 64)
+
+    from tisph_tpu.ops.neighbors import neighbor_sweep_blocked
+
+    def pair(i, j, r_vec, r2, w, grad_w):
+        return {"count": jnp.ones_like(r2)}
+
+    acc = neighbor_sweep_blocked(
+        nd_ranges, wstarts, sorted_ids, sorted_state.x, {}, {}, pair,
+        {"count": jnp.zeros(state.capacity)}, spec, h,
+        block_size=64, window_cap=608,
+    )
+    count = np.asarray(acc["count"])
+
+    xs = np.asarray(sorted_state.x, dtype=np.float32)
+    active = np.asarray(sorted_state.material) == MATERIAL_FLUID
+    d2 = ((xs[:, None, :] - xs[None, :, :]) ** 2).sum(-1)
+    brute = (d2 < np.float32(h) * np.float32(h)) & ~np.eye(state.capacity, dtype=bool)
+    brute &= active[None, :] & active[:, None]
+    np.testing.assert_array_equal(count[active], brute.sum(axis=1)[active])
+
+
 def test_csr_bounds_cover_cell0():
     """Regression guard for the reference's off-by-one that makes cell 0
     invisible (partice_systemv4.py:343)."""

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from tisph_tpu.config import SceneConfig, SolverParams
-from tisph_tpu.models.state import SimState
+from tisph_tpu.models.state import SimState, pad_state_capacity
 from tisph_tpu.ops import grid as gridops
 from tisph_tpu.ops.neighbors import SweepConfig
 
@@ -82,7 +82,29 @@ class SolverBase:
         if self.sweep_cfg is None:
             block = 128
             wcap = gridops.suggest_window_cap(state, self.spec, block)
-            self.sweep_cfg = SweepConfig(impl="blocked", block_size=block, window_cap=wcap)
+            impl = "pallas" if jax.default_backend() == "tpu" else "blocked"
+            self.sweep_cfg = SweepConfig(impl=impl, block_size=block, window_cap=wcap)
+        if self.sweep_cfg.impl == "pallas":
+            # pallas kernel constraints: window multiple of tile, capacity
+            # multiple of block, f32-exact cell ids
+            import dataclasses as _dc
+
+            cfg = self.sweep_cfg
+            t = cfg.tile
+            # +128 covers the lane-quantisation of window starts
+            wcap = int(-(-(cfg.window_cap + 128) // t) * t)
+            if wcap != cfg.window_cap:
+                self.sweep_cfg = cfg = _dc.replace(cfg, window_cap=wcap)
+            if self.spec.num_cells >= 2**24:
+                raise ValueError(
+                    "pallas sweep packs cell ids as f32; num_cells "
+                    f"{self.spec.num_cells} >= 2**24 would lose precision"
+                )
+            block = cfg.block_size
+            if state.capacity % block or state.capacity < cfg.window_cap:
+                unit = block
+                cap = int(-(-max(state.capacity, cfg.window_cap) // unit) * unit)
+                state = pad_state_capacity(state, cap)
         if self.boundary_mode == "static":
             state = self._precompute_boundary_volumes(state)
         return state
@@ -155,6 +177,10 @@ class SolverBase:
             bounds = gridops.csr_bounds(sorted_ids, spec)
             coords = gridops.cell_coords(sorted_state.x, spec)
             runs = gridops.stencil_runs(coords, bounds, spec)
+            # inert runs for inactive tail rows (their coords are parked
+            # positions; they must not inflate the window measurement)
+            inact = (sorted_ids >= spec.num_cells)[:, None, None]
+            runs = jnp.where(inact, jnp.asarray(st.capacity, runs.dtype), runs)
             cfg = self.sweep_cfg
             if cfg is not None and cfg.impl == "gather":
                 occupancy = gridops.max_run_length(runs)

@@ -128,6 +128,23 @@ def make_state(
     )
 
 
+def pad_state_capacity(state: SimState, capacity: int) -> SimState:
+    """Grow the capacity with inactive slots (material = MATERIAL_INVALID)."""
+    if capacity == state.capacity:
+        return state
+    if capacity < state.capacity:
+        raise ValueError("capacity can only grow")
+    pad = capacity - state.capacity
+
+    def pad_leaf(a):
+        if a.ndim == 0:
+            return a
+        fill = MATERIAL_INVALID if jnp.issubdtype(a.dtype, jnp.integer) else 0
+        return jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1), constant_values=fill)
+
+    return jax.tree.map(pad_leaf, state)
+
+
 def state_to_host(state: SimState) -> dict[str, np.ndarray]:
     """Device -> host snapshot of the live particles.
 

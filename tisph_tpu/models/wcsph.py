@@ -25,6 +25,8 @@ from tisph_tpu.ops import grid as gridops
 
 class WCSPH(SolverBase):
     def _step_fn(self, state: SimState) -> SimState:
+        if self.sweep_cfg.impl == "pallas":
+            return self._step_fn_pallas(state)
         spec, params, scfg = self.spec, self.params, self.sweep_cfg
 
         # 1. resort by cell + neighbor structure
@@ -48,4 +50,55 @@ class WCSPH(SolverBase):
         state = F.advect(state, d_velocity, params)
 
         # 7. boundary clamp
+        return F.enforce_domain_boundary(state, params)
+
+    def _step_fn_pallas(self, state: SimState) -> SimState:
+        """Same step, with the two neighbor sweeps running as fused Pallas
+        TPU kernels (ops/pallas/sweeps.py) over the packed sorted state."""
+        import jax.numpy as jnp
+
+        from tisph_tpu.ops.pallas import sweeps as ps
+
+        spec, params, scfg = self.spec, self.params, self.sweep_cfg
+
+        state, sorted_ids, _ = gridops.sort_state_by_cell(state, spec)
+        coords = gridops.cell_coords(state.x, spec)
+        meta = ps.block_meta(sorted_ids, coords, spec, scfg.block_size, scfg.window_cap)
+        pack = ps.pack_state(
+            state.x, state.v, state.density, state.pressure,
+            state.mass, state.volume, state.material, sorted_ids, params,
+        )
+
+        if self.boundary_mode == "per_step":
+            nd = gridops.build_neighbor_data(
+                state, sorted_ids, spec,
+                dataclasses.replace(scfg, impl="blocked"),
+            )
+            volume = F.compute_boundary_volumes(
+                state, nd, spec, params, dataclasses.replace(scfg, impl="blocked")
+            )
+            state = dataclasses.replace(state, volume=volume)
+            fl = (state.material == 1).astype(jnp.float32)
+            bd = (state.material == 0).astype(jnp.float32)
+            pack = pack.at[ps._VOL, :].set(volume)
+            pack = pack.at[ps._EFFM, :].set(
+                fl * state.mass + bd * (params.density0 * volume)
+            )
+
+        rho = ps.density_sweep(
+            pack, meta, spec, params, scfg.block_size, scfg.window_cap,
+            tile=scfg.tile, interpret=scfg.interpret,
+        )
+        rho = jnp.where(state.fluid_mask, rho, state.density)
+        rho, pressure = F.compute_pressures(rho, params)
+        state = dataclasses.replace(state, density=rho, pressure=pressure)
+        pack = ps.repack_eos(pack, rho, pressure)
+
+        dv = ps.force_sweep(
+            pack, meta, spec, params, scfg.block_size, scfg.window_cap,
+            tile=scfg.tile, interpret=scfg.interpret,
+        )
+        dv = jnp.where(state.fluid_mask[:, None], dv, 0.0)
+
+        state = F.advect(state, dv, params)
         return F.enforce_domain_boundary(state, params)

@@ -214,38 +214,62 @@ def cell_target_ranges(coords: jax.Array, spec: GridSpec) -> jax.Array:
 
 
 def block_window_starts(
-    sorted_ids: jax.Array, coords: jax.Array, spec: GridSpec, block_size: int
+    sorted_ids: jax.Array,
+    coords: jax.Array,
+    spec: GridSpec,
+    block_size: int,
+    ids_i: jax.Array | None = None,
 ) -> jax.Array:
     """Per-(block, row) candidate-window start indices: (num_blocks, rows).
 
-    The window for a block/row must begin at the first sorted particle whose
-    cell id >= the row's c_lo of the block's FIRST particle (run starts are
-    monotone in sorted order, so the first particle's start is the minimum).
-    Costs one searchsorted of num_blocks*rows queries — thousands, not the
-    num_cells (~10^5-10^6) a full CSR bounds array would need.
+    The window for a block/row begins at the first sorted particle whose
+    cell id >= the MINIMUM of the row's per-particle c_lo over the block.
+    (The minimum, not the first particle's value: per-row c_lo is monotone
+    over sorted order EXCEPT at clamped grid edges, where two different
+    leads can clip onto the same edge cell with decreasing z — sampling the
+    first particle there overshoots and silently drops edge-cell
+    neighbors.)  Costs one searchsorted of num_blocks*rows queries —
+    thousands, not the num_cells (~10^5-10^6) a full CSR bounds array
+    would need.
     """
-    first = coords[::block_size]  # strided slice: first particle per block
+    n = coords.shape[0]
+    num_blocks = -(-n // block_size)
+    padded = num_blocks * block_size
     offsets = _row_offsets(spec)
     res = np.asarray(spec.res)
     strides = np.asarray(spec.strides)
 
-    lead = first[:, : spec.dim - 1]
-    z_lo = jnp.maximum(first[:, spec.dim - 1] - 1, 0)
+    lead = coords[:, : spec.dim - 1]
+    z_lo = jnp.maximum(coords[:, spec.dim - 1] - 1, 0)
     queries = []
     for o in offsets:
-        # Out-of-grid rows are *clamped* (not emptied): the query must stay a
-        # lower bound for every particle in the block, including those whose
-        # row IS valid (monotonicity argument as in stencil_runs).
-        nb = jnp.clip(
-            lead + jnp.asarray(o, dtype=jnp.int32),
-            0,
-            jnp.asarray(res[:-1] - 1, dtype=jnp.int32),
+        # Particles whose row offset leaves the grid have NO candidates in
+        # this row: exclude them from the min (query = num_cells) instead of
+        # clamping onto an edge column — clamping dragged edge-block windows
+        # across whole x-slabs of irrelevant particles.
+        nb = lead + jnp.asarray(o, dtype=jnp.int32)
+        valid = jnp.all(
+            (nb >= 0) & (nb < jnp.asarray(res[:-1], dtype=jnp.int32)), axis=-1
         )
         base = jnp.sum(nb * jnp.asarray(strides[:-1], dtype=jnp.int32), axis=-1)
-        queries.append(base + z_lo)
-    flat_q = jnp.stack(queries, axis=1).reshape(-1)
-    starts = jnp.searchsorted(sorted_ids, flat_q, side="left").astype(jnp.int32)
-    return starts.reshape(first.shape[0], spec.num_rows)
+        queries.append(jnp.where(valid, base + z_lo, spec.num_cells))
+    q = jnp.stack(queries, axis=1)  # (n, rows)
+    # Inactive (sentinel-id) rows derive coords from their parked positions,
+    # not their sort position — excluding them keeps a mixed tail block's
+    # window anchored on its ACTIVE particles (else the min drags the
+    # window far below them and the capped length truncates coverage).
+    # ``ids_i`` are the ids aligned with ``coords`` (the i side); in the
+    # sharded setting ``sorted_ids`` is the halo-extended j array and MUST
+    # NOT be used for this mask.
+    if ids_i is None:
+        ids_i = sorted_ids[:n]
+    inactive = (ids_i >= spec.num_cells)[:, None]
+    q = jnp.where(inactive, spec.num_cells, q)
+    if padded != n:
+        q = jnp.pad(q, ((0, padded - n), (0, 0)), constant_values=spec.num_cells)
+    q_min = jnp.min(q.reshape(num_blocks, block_size, -1), axis=1)
+    starts = jnp.searchsorted(sorted_ids, q_min.reshape(-1), side="left")
+    return starts.reshape(num_blocks, spec.num_rows).astype(jnp.int32)
 
 
 def max_window_length(runs: jax.Array, block_size: int) -> jax.Array:
@@ -259,7 +283,12 @@ def max_window_length(runs: jax.Array, block_size: int) -> jax.Array:
     if pad:
         runs = jnp.concatenate([runs, jnp.zeros((pad,) + runs.shape[1:], runs.dtype)])
     blocks = runs.reshape(nb, block_size, runs.shape[1], 2)
-    win = blocks[:, -1, :, 1] - blocks[:, 0, :, 0]
+    # min/max over the block, ignoring empty runs (clamped-out rows, pad)
+    pad_mask = (jnp.arange(nb * block_size).reshape(nb, block_size) >= n)[..., None]
+    empty = (blocks[..., 0] >= blocks[..., 1]) | pad_mask
+    starts = jnp.where(empty, np.iinfo(np.int32).max, blocks[..., 0])
+    ends = jnp.where(empty, 0, blocks[..., 1])
+    win = jnp.maximum(jnp.max(ends, axis=1) - jnp.min(starts, axis=1), 0)
     return jnp.max(win)
 
 
@@ -279,6 +308,7 @@ def _host_runs(state: SimState, spec: GridSpec) -> np.ndarray:
     order = np.argsort(ids, kind="stable")
     sorted_ids = ids[order]
     coords = coords[order]
+    inactive = sorted_ids >= spec.num_cells
     bounds = np.searchsorted(sorted_ids, np.arange(spec.num_cells + 1), side="left")
 
     offsets = _row_offsets(spec)
@@ -294,6 +324,10 @@ def _host_runs(state: SimState, spec: GridSpec) -> np.ndarray:
         base = (nb_cl * strides[:-1]).sum(axis=-1)
         s = bounds[np.clip(base + z_lo, 0, spec.num_cells)]
         e = np.where(valid, bounds[np.clip(base + z_hi + 1, 0, spec.num_cells)], s)
+        # inactive rows get inert tail runs so capacity measurements ignore
+        # their parked-position coords
+        s = np.where(inactive, x.shape[0], s)
+        e = np.where(inactive, x.shape[0], e)
         runs[:, r, 0] = s
         runs[:, r, 1] = e
     return runs
@@ -307,9 +341,15 @@ def suggest_window_cap(state: SimState, spec: GridSpec, block_size: int, slack: 
     nb = -(-n // block_size)
     pad = nb * block_size - n
     if pad:
-        runs = np.concatenate([runs, np.zeros((pad,) + runs.shape[1:], runs.dtype)])
+        tail = np.zeros((pad,) + runs.shape[1:], runs.dtype)
+        tail[..., 0] = n
+        runs = np.concatenate([runs, tail])
     blocks = runs.reshape(nb, block_size, runs.shape[1], 2)
-    m = int((blocks[:, -1, :, 1] - blocks[:, 0, :, 0]).max())
+    # ignore empty runs (clamped-out rows, inactive, pad) in the reductions
+    empty = blocks[..., 0] >= blocks[..., 1]
+    starts = np.where(empty, np.iinfo(np.int64).max, blocks[..., 0])
+    ends = np.where(empty, 0, blocks[..., 1])
+    m = int(np.maximum(ends.max(axis=1) - starts.min(axis=1), 0).max())
     return max(128, int(-(-(m * slack) // 128) * 128))
 
 

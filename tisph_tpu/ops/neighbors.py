@@ -52,8 +52,10 @@ class SweepConfig:
 
     impl: str = "blocked"
     chunk_size: int | None = None  # gather impl: i-axis chunk
-    block_size: int = 128          # blocked impl: particles per block
-    window_cap: int = 1024         # blocked impl: candidate window length
+    block_size: int = 128          # blocked/pallas impl: particles per block
+    window_cap: int = 1024         # blocked/pallas impl: candidate window length
+    tile: int = 128                # pallas impl: inner j-tile (lanes)
+    interpret: bool = False        # pallas impl: interpreter mode (CPU tests)
 
 
 def sweep(

@@ -1,0 +1,343 @@
+"""Fused Pallas neighbor sweeps (density / forces) for WCSPH.
+
+Same blockwise-window structure as ops/neighbors.neighbor_sweep_blocked —
+cell-sorted particles, one contiguous candidate window per (block, stencil
+row) — but with the streaming made explicit:
+
+- the j-side state is packed into ONE transposed (16, N) f32 array (fields
+  on the sublane axis, particles on the lane axis) so a window is a single
+  lane-aligned DMA HBM -> VMEM; window starts are quantised to the 128-lane
+  grid (cell ids ride along as exact f32 integers, guarded by
+  ``num_cells < 2**24``);
+- per (block, row) window *lengths* are prefetched and the kernel loops
+  ``ceil(len / TILE)`` tiles — work scales with the actual neighborhood,
+  not the worst-case cap the jnp tier always pays;
+- windows are double-buffered: the next stencil row's DMA is in flight
+  while the current row computes;
+- all pair math is (block, tile) 2-D component arithmetic on the VPU — no
+  3-D intermediates;
+- per-pair physics is identical to the factories in ops/forces.py
+  (reference equations wcsphv2.py:18-93, sph_basev2.py:64-78).
+
+Packed-row layout (transposed):
+  0..2  x   |  3..5  v  (offsets fixed so 2D/3D share indices)
+  6 density | 7 pressure | 8 mass | 9 volume | 10 fluid | 11 bound
+  12 eff_mass (fluid*m + bound*rho0*V — density-sweep coefficient)
+  13 cell id (f32) | 14 p/rho^2 (precomputed per particle, saves a per-lane
+  divide in the force sweep) | 15 pad
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tisph_tpu.config import SolverParams
+from tisph_tpu.models.state import MATERIAL_BOUNDARY, MATERIAL_FLUID
+from tisph_tpu.ops.grid import GridSpec, _row_offsets
+from tisph_tpu.ops.kernels import cubic_kernel_sigma
+
+F_ROWS = 16
+_X, _V, _RHO, _P, _M, _VOL, _FL, _BD, _EFFM, _ID = 0, 3, 6, 7, 8, 9, 10, 11, 12, 13
+_PRHO2 = 14
+_LANE = 128  # window starts are quantised to this lane grid
+
+
+def pack_state(
+    x: jax.Array,
+    v: jax.Array,
+    density: jax.Array,
+    pressure: jax.Array,
+    mass: jax.Array,
+    volume: jax.Array,
+    material: jax.Array,
+    sorted_ids: jax.Array,
+    params: SolverParams,
+) -> jax.Array:
+    """Pack sorted per-particle fields into the transposed (16, N) array."""
+    n, dim = x.shape
+    fl = (material == MATERIAL_FLUID).astype(jnp.float32)
+    bd = (material == MATERIAL_BOUNDARY).astype(jnp.float32)
+    zero = jnp.zeros((n,), jnp.float32)
+    rows = [zero] * F_ROWS
+    for a in range(dim):
+        rows[_X + a] = x[:, a]
+        rows[_V + a] = v[:, a]
+    rows[_RHO] = density
+    rows[_P] = pressure
+    rows[_M] = mass
+    rows[_VOL] = volume
+    rows[_FL] = fl
+    rows[_BD] = bd
+    rows[_EFFM] = fl * mass + bd * (params.density0 * volume)
+    rows[_ID] = sorted_ids.astype(jnp.float32)
+    rows[_PRHO2] = pressure / jnp.maximum(density * density, 1e-12)
+    return jnp.stack(rows, axis=0)
+
+
+def repack_eos(pack: jax.Array, density: jax.Array, pressure: jax.Array) -> jax.Array:
+    """Update the density/pressure-derived rows between the two sweeps."""
+    return (
+        pack.at[_RHO, :].set(density)
+        .at[_P, :].set(pressure)
+        .at[_PRHO2, :].set(pressure / jnp.maximum(density * density, 1e-12))
+    )
+
+
+def _sweep_kernel(
+    meta_ref,       # (8, 128) i32 VMEM tile; row (blk % 8) = [wstarts|wlens]
+    ipack_ref,      # (16, B) VMEM — this block's particles (transposed)
+    jpack_hbm,      # (16, N) ANY — full packed array
+    out_ref,        # (B, 8) VMEM
+    jbuf,           # (2, 16, W) VMEM scratch (double buffer)
+    sem,            # DMA semaphores (2,)
+    *,
+    mode: str,
+    spec: GridSpec,
+    params: SolverParams,
+    block: int,
+    window: int,
+    tile: int,
+):
+    dim = spec.dim
+    h = params.support_length
+    rows = spec.num_rows
+    offsets = _row_offsets(spec)
+    strides = np.asarray(spec.strides)
+    res = np.asarray(spec.res)
+    k_sig = cubic_kernel_sigma(dim, h)
+    k6 = 6.0 * k_sig
+
+    xi = [ipack_ref[_X + a, :] for a in range(dim)]  # dim x (B,)
+    # integer cell coords as exact f32, per-axis scalar constants only
+    ci = [
+        jnp.clip(
+            jnp.floor((xi[a] - float(spec.domain_start[a])) / spec.cell_size),
+            0.0,
+            float(res[a] - 1),
+        )
+        for a in range(dim)
+    ]
+
+    blk = pl.program_id(0)
+    mrow = jax.lax.rem(blk, 8)
+    own = blk * block + jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
+
+    if mode == "density":
+        m_i = ipack_ref[_M, :]
+        acc0 = (m_i * k_sig,)  # m_i * W(0); W(0) = sigma
+    else:
+        rho_i = ipack_ref[_RHO, :][:, None]
+        p_rho2_i = ipack_ref[_PRHO2, :][:, None]
+        inv_m_i = (1.0 / jnp.maximum(ipack_ref[_M, :], 1e-30))[:, None]
+        vi = [ipack_ref[_V + a, :] for a in range(dim)]
+        acc0 = tuple(
+            jnp.full((block,), float(params.gravity[a]), jnp.float32)
+            for a in range(dim)
+        )
+
+    def dma(slot, row):
+        # starts are host-quantised to the lane grid; tell Mosaic so
+        ws = pl.multiple_of(meta_ref[mrow, row], _LANE)
+        return pltpu.make_async_copy(
+            jpack_hbm.at[:, pl.ds(ws, window)], jbuf.at[slot], sem.at[slot]
+        )
+
+    dma(0, 0).start()
+    acc = acc0
+
+    for row in range(rows):  # static unroll: 9 (3D) / 3 (2D) rows
+        slot = row % 2
+        if row + 1 < rows:
+            dma((row + 1) % 2, row + 1).start()
+        dma(slot, row).wait()
+
+        ws = meta_ref[mrow, row]
+        wl = meta_ref[mrow, rows + row]
+
+        # per-i inclusive cell-id range [c_lo, c_hi] for this stencil row
+        o = offsets[row]
+        valid_row = None
+        base = jnp.zeros((block,), jnp.float32)
+        for a in range(dim - 1):
+            nb = ci[a] + float(o[a])
+            va = (nb >= 0.0) & (nb < float(res[a]))
+            valid_row = va if valid_row is None else (valid_row & va)
+            base = base + jnp.clip(nb, 0.0, float(res[a] - 1)) * float(strides[a])
+        z = ci[dim - 1]
+        z_lo = jnp.maximum(z - 1.0, 0.0)
+        z_hi = jnp.minimum(z + 1.0, float(res[-1] - 1))
+        if valid_row is None:
+            valid_row = jnp.ones((block,), jnp.bool_)
+        c_lo = jnp.where(valid_row, base + z_lo, 1.0)[:, None]
+        c_hi = jnp.where(valid_row, base + z_hi, 0.0)[:, None]
+
+        def tile_body(t, acc_in, slot=slot, ws=ws, c_lo=c_lo, c_hi=c_hi):
+            jrow = lambda r: jbuf[slot, r, pl.ds(t * tile, tile)]  # (T,)
+            idw = jrow(_ID)[None, :]
+            g = ws + t * tile + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+
+            dx = []
+            r2 = jnp.zeros((block, tile), jnp.float32)
+            for a in range(dim):
+                d_a = xi[a][:, None] - jrow(_X + a)[None, :]  # (B, T)
+                dx.append(d_a)
+                r2 = r2 + d_a * d_a
+            valid = (idw >= c_lo) & (idw <= c_hi) & (g != own) & (r2 < h * h)
+
+            # one rsqrt replaces sqrt + divide: r_norm = r2 * rs, 1/r = rs
+            rs = jax.lax.rsqrt(jnp.maximum(r2, 1e-12))
+            r_norm = r2 * rs
+            q = r_norm * (1.0 / h)
+            inner = 6.0 * (q * q * q - q * q) + 1.0
+            fac = 1.0 - q
+            outer = 2.0 * fac * fac * fac
+            w = jnp.where(q <= 0.5, inner, outer) * k_sig
+            w = jnp.where(q <= 1.0, w, 0.0)
+
+            if mode == "density":
+                contrib = jrow(_EFFM)[None, :] * w
+                (a0,) = acc_in
+                return (a0 + jnp.sum(jnp.where(valid, contrib, 0.0), axis=1),)
+
+            # grad W = gmag * r_vec;  1/(r_norm h) = rs / h
+            mag = jnp.where(q <= 0.5, k6 * q * (3.0 * q - 2.0), -k6 * fac * fac)
+            gvalid = (r_norm > 1e-5) & (q <= 1.0)
+            gmag = jnp.where(gvalid, mag * rs * (1.0 / h), 0.0)
+
+            fl = jrow(_FL)[None, :]
+            bd = jrow(_BD)[None, :]
+            m_j = jrow(_M)[None, :]
+            rho_j = jrow(_RHO)[None, :]
+            p_rho2_j = jrow(_PRHO2)[None, :]
+            bvol_j = params.density0 * jrow(_VOL)[None, :]
+
+            dot = jnp.zeros((block, tile), jnp.float32)
+            for a in range(dim):
+                dot = dot + (vi[a][:, None] - jrow(_V + a)[None, :]) * dx[a]
+            dot_neg = jnp.minimum(dot, 0.0) / (r2 + 0.01 * h * h)
+
+            coh_coef = -(params.surface_tension * inv_m_i) * fl * m_j * w
+            nu_f = (2.0 * params.viscosity * h * params.c_s) / (rho_i + rho_j)
+            grad_coef = fl * m_j * nu_f * dot_neg
+            nu_b = params.boundary_sigma * h * params.c_s / (2.0 * rho_i)
+            grad_coef = grad_coef + bd * bvol_j * nu_b * dot_neg
+            p_term_f = p_rho2_i + p_rho2_j
+            grad_coef = grad_coef - fl * m_j * p_term_f
+            grad_coef = grad_coef - bd * bvol_j * p_rho2_i
+
+            coef = jnp.where(valid, grad_coef * gmag + coh_coef, 0.0)
+            return tuple(
+                acc_in[a] + jnp.sum(coef * dx[a], axis=1) for a in range(dim)
+            )
+
+        acc = jax.lax.fori_loop(0, pl.cdiv(wl, tile), tile_body, acc)
+
+    for c, col in enumerate(acc):
+        out_ref[:, c] = col
+    for c in range(len(acc), out_ref.shape[1]):
+        out_ref[:, c] = jnp.zeros((block,), jnp.float32)
+
+
+def block_meta(
+    sorted_ids: jax.Array,
+    coords: jax.Array,
+    spec: GridSpec,
+    block: int,
+    window: int,
+) -> jax.Array:
+    """(ceil8(num_blocks), 128) i32: per block, [wstarts | wlens] padded.
+
+    starts = searchsorted of min-over-block row c_lo, quantised DOWN to the
+    128-lane grid (the DMA offset must be lane-aligned);
+    ends   = searchsorted of max-over-block row c_hi + 1.
+    Min/max reductions (not first/last sampling) because the inactive
+    padding tail has position-derived coords that break the monotonicity
+    the active particles' sorted order guarantees."""
+    n = coords.shape[0]
+    offsets = _row_offsets(spec)
+    res = np.asarray(spec.res)
+    strides = np.asarray(spec.strides)
+    num_blocks = n // block
+
+    lead = coords[:, : spec.dim - 1]
+    z = coords[:, spec.dim - 1]
+    lo_list, hi_list = [], []
+    for o in offsets:
+        # exclude out-of-grid rows from the reductions (see
+        # grid.block_window_starts): clamping onto edge columns drags the
+        # window across whole slabs of irrelevant particles
+        nb = lead + jnp.asarray(o, jnp.int32)
+        valid = jnp.all((nb >= 0) & (nb < jnp.asarray(res[:-1], jnp.int32)), axis=-1)
+        base = jnp.sum(nb * jnp.asarray(strides[:-1], jnp.int32), axis=-1)
+        lo_list.append(jnp.where(valid, base + jnp.maximum(z - 1, 0), spec.num_cells))
+        hi_list.append(jnp.where(valid, base + jnp.minimum(z + 1, int(res[-1]) - 1), -1))
+    # Exclude inactive (sentinel-id) rows from the reductions: their coords
+    # come from parked positions, and letting them drag the min start down
+    # would truncate the capped window before the block's ACTIVE particles.
+    inactive = (sorted_ids >= spec.num_cells)[:, None]
+    c_lo_all = jnp.where(inactive, spec.num_cells, jnp.stack(lo_list, 1))
+    c_hi_all = jnp.where(inactive, -1, jnp.stack(hi_list, 1))
+    c_lo = c_lo_all.reshape(num_blocks, block, -1)
+    c_hi = c_hi_all.reshape(num_blocks, block, -1)
+    lo_q = jnp.min(c_lo, axis=1)  # (num_blocks, rows)
+    hi_q = jnp.max(c_hi, axis=1)
+    starts = jnp.searchsorted(sorted_ids, lo_q.reshape(-1), side="left")
+    ends = jnp.searchsorted(sorted_ids, hi_q.reshape(-1) + 1, side="left")
+    starts = starts.reshape(num_blocks, -1).astype(jnp.int32)
+    ends = ends.reshape(num_blocks, -1).astype(jnp.int32)
+    starts_q = (starts // _LANE) * _LANE  # lane-aligned DMA offsets
+    starts_q = jnp.clip(starts_q, 0, max(n - window, 0))
+    lens = jnp.clip(ends - starts_q, 0, window)
+    meta = jnp.concatenate([starts_q, lens], axis=1)
+    # pad to (ceil8(num_blocks), 128) for aligned (8, 128) VMEM tiles
+    nb8 = int(-(-num_blocks // 8) * 8)
+    return jnp.pad(meta, ((0, nb8 - num_blocks), (0, 128 - meta.shape[1])))
+
+
+def _run_sweep(pack, meta, mode, spec, params, block, window, tile, interpret):
+    n = pack.shape[1]
+    num_blocks = n // block
+    out_cols = 8
+    kern = functools.partial(
+        _sweep_kernel,
+        mode=mode, spec=spec, params=params,
+        block=block, window=window, tile=tile,
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(num_blocks,),
+        in_specs=[
+            pl.BlockSpec((8, 128), lambda k: (k // 8, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((F_ROWS, block), lambda k: (0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((block, out_cols), lambda k: (k, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, out_cols), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, F_ROWS, window), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(meta, pack, pack)
+    return out
+
+
+def density_sweep(pack, meta, spec, params, block, window, tile=256, interpret=False):
+    """rho_i = m_i W(0) + sum_j eff_mass_j W (fluid mask applied by caller)."""
+    out = _run_sweep(pack, meta, "density", spec, params, block, window, tile, interpret)
+    return out[:, 0]
+
+
+def force_sweep(pack, meta, spec, params, block, window, tile=256, interpret=False):
+    """Fused non-pressure + pressure dv (gravity included)."""
+    out = _run_sweep(pack, meta, "force", spec, params, block, window, tile, interpret)
+    return out[:, : spec.dim]

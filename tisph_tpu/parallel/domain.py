@@ -256,7 +256,7 @@ class ShardedWCSPH(SolverBase):
             nd = NeighborData(
                 cell_ranges=gridops.cell_target_ranges(coords_l, spec),
                 wstarts=gridops.block_window_starts(
-                    ids_e, coords_l, spec, scfg.block_size
+                    ids_e, coords_l, spec, scfg.block_size, ids_i=ids_l
                 ),
                 sorted_ids=ids_e,
             )
@@ -295,7 +295,7 @@ class ShardedWCSPH(SolverBase):
             nd = NeighborData(
                 cell_ranges=gridops.cell_target_ranges(coords_l, spec),
                 wstarts=gridops.block_window_starts(
-                    ids_e, coords_l, spec, scfg.block_size
+                    ids_e, coords_l, spec, scfg.block_size, ids_i=ids_l
                 ),
                 sorted_ids=ids_e,
             )
