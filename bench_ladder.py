@@ -1,0 +1,128 @@
+"""BASELINE measurement ladder (BASELINE.md: configs 1-5).
+
+Runs each config, prints one JSON line per config, and writes the combined
+results to BENCH_LADDER.json.  The headline single-number benchmark stays
+in bench.py (the driver runs that one).
+
+Configs (BASELINE.json):
+  1. 2D WCSPH dam break ~5k, box boundary
+  2. 2D WCSPH + static boundary-particle obstacles + surface tension/viscosity
+  3. 3D WCSPH dam break ~100k
+  4. 3D + imported boundary mesh + emitter inflow, 500k+
+  5. 1M-particle 3D + in-loop BPA surface extraction + frame export
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import numpy as np
+
+import tisph_tpu as tt
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+LADDER = [
+    ("2d_5k", "scenes/bench_2d_5k.json", 100, {}),
+    ("2d_obstacle", "scenes/bench_2d_obstacle.json", 100, {}),
+    ("3d_100k", "scenes/bench_3d_100k.json", 50, {}),
+    ("3d_mesh_emitter_500k", "scenes/bench_3d_mesh_500k.json", 30, {"emit": True}),
+    ("3d_1m_bpa", "scenes/bench_3d_1m.json", 30, {"bpa": True, "export": True}),
+]
+
+
+def run_config(name: str, scene_path: str, steps: int, opts: dict) -> dict:
+    scene = tt.load_scene(os.path.join(HERE, scene_path))
+    state = tt.build_state(scene)
+    solver = tt.WCSPH(scene)
+    state = solver.bind(state)
+    n = int(jax.device_get(state.num_active))
+
+    emitters = []
+    if opts.get("emit") and scene.emitters:
+        from tisph_tpu.geometry.emitter import make_emitter_state
+
+        emitters = [make_emitter_state(em, scene) for em in scene.emitters]
+
+    if emitters:
+        from tisph_tpu.geometry.emitter import maybe_emit
+
+        def fused(s, ems):
+            ems = list(ems)
+            for i, es in enumerate(ems):
+                s, ems[i] = maybe_emit(s, es, scene.particle_volume0)
+            return solver._step_fn(s), tuple(ems)
+
+        step = jax.jit(fused)
+        state, em_t = step(state, tuple(emitters))  # warmup/compile
+        jax.block_until_ready(state.x)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, em_t = step(state, em_t)
+        jax.block_until_ready(state.x)
+        wall = time.perf_counter() - t0
+    else:
+        step = jax.jit(solver._step_fn)
+        compiled = step.lower(state).compile()
+        state = compiled(state)  # warmup
+        jax.block_until_ready(state.x)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state = compiled(state)
+        jax.block_until_ready(state.x)
+        wall = time.perf_counter() - t0
+
+    extra = {}
+    if opts.get("export"):
+        t1 = time.perf_counter()
+        from tisph_tpu.models.state import state_to_host
+
+        host = state_to_host(state)
+        extra["export_s"] = round(time.perf_counter() - t1, 3)
+    if opts.get("bpa"):
+        t1 = time.perf_counter()
+        from tisph_tpu.models.state import state_to_host
+        from tisph_tpu.render.bpa2d import extract_boundary_2d
+
+        host = state_to_host(state)
+        fluid = host["material"] == 1
+        pts = host["x"][fluid][:, :2]  # xy projection boundary
+        b = extract_boundary_2d(pts, radius=3.0 * scene.particle_radius)
+        extra["bpa_s"] = round(time.perf_counter() - t1, 3)
+        extra["bpa_loops"] = len(b.loops)
+
+    m = jax.device_get(solver.metrics(state))
+    n_final = int(jax.device_get(state.num_active))
+    res = {
+        "config": name,
+        "particles": n_final,
+        "steps": steps,
+        "wall_s": round(wall, 3),
+        "particle_steps_per_sec": round(n * steps / wall, 1),
+        "nan": int(m["nan_count"]),
+        "sweep": solver.sweep_cfg.impl,
+        **extra,
+    }
+    return res
+
+
+def main() -> int:
+    only = sys.argv[1] if len(sys.argv) > 1 else None
+    results = []
+    for name, path, steps, opts in LADDER:
+        if only and only not in name:
+            continue
+        res = run_config(name, path, steps, opts)
+        print(json.dumps(res), flush=True)
+        results.append(res)
+    with open(os.path.join(HERE, "BENCH_LADDER.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

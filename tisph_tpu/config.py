@@ -50,6 +50,22 @@ class FluidBlock:
 
 
 @dataclasses.dataclass(frozen=True)
+class BoundaryBlock:
+    """Lattice-sampled static boundary box (walls / obstacles).
+
+    Build-side extension: the reference's only 2D boundary source is the
+    commented-out rigid path (partice_systemv2.py:92-121); this gives 2D
+    and 3D scenes axis-aligned boundary-particle obstacles without a mesh.
+    Sampled at the particle diameter (like voxelized rigid bodies).
+    """
+
+    start: tuple[float, ...]
+    end: tuple[float, ...]
+    density: float = _DEFAULT_DENSITY0
+    color: tuple[float, float, float] = (0.6, 0.6, 0.6)
+
+
+@dataclasses.dataclass(frozen=True)
 class RigidBody:
     """Voxelized static rigid / boundary body loaded from a mesh file.
 
@@ -106,6 +122,7 @@ class SceneConfig:
     c_s: float = 100.0
     fluid_blocks: tuple[FluidBlock, ...] = ()
     rigid_bodies: tuple[RigidBody, ...] = ()
+    boundary_blocks: tuple[BoundaryBlock, ...] = ()
     emitters: tuple[Emitter, ...] = ()
     # Keys the reference parses but ignores (SURVEY.md §2.2) — retained and
     # honored under compat="config".
@@ -262,6 +279,18 @@ def scene_from_dict(raw: dict[str, Any], base_dir: str = ".") -> SceneConfig:
             )
         )
 
+    boundary_blocks = []
+    for bb in raw.get("boundaryBlocks", []) or []:
+        d = min(dim, len(bb["start"]))
+        boundary_blocks.append(
+            BoundaryBlock(
+                start=_tup(bb["start"][:d], d),
+                end=_tup(bb["end"][:d], d),
+                density=float(bb.get("density", _DEFAULT_DENSITY0)),
+                color=_color(bb.get("color")),
+            )
+        )
+
     emitters = []
     for em in raw.get("emitters", []) or []:
         d = min(dim, len(em["start"]))
@@ -290,6 +319,7 @@ def scene_from_dict(raw: dict[str, Any], base_dir: str = ".") -> SceneConfig:
         c_s=float(cfg.get("c_s", 100.0)),
         fluid_blocks=tuple(fluid_blocks),
         rigid_bodies=tuple(rigid_bodies),
+        boundary_blocks=tuple(boundary_blocks),
         emitters=tuple(emitters),
         stiffness_B=float(cfg["B"]) if "B" in cfg else None,
         gamma=float(cfg["gamma"]) if "gamma" in cfg else None,

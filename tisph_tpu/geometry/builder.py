@@ -68,6 +68,17 @@ def build_state(
         object_ids.append(np.full(n, next_obj, np.int32))
         next_obj += 1
 
+    for bb in scene.boundary_blocks:
+        pts = cube_lattice(bb.start, bb.end, scene.particle_diameter)
+        n = pts.shape[0]
+        positions.append(pts)
+        velocities.append(np.zeros((n, dim), np.float32))
+        densities.append(np.full(n, bb.density, np.float32))
+        materials.append(np.full(n, MATERIAL_BOUNDARY, np.int32))
+        colors.append(np.tile(np.asarray(bb.color, np.float32), (n, 1)))
+        object_ids.append(np.full(n, next_obj, np.int32))
+        next_obj += 1
+
     for block in scene.fluid_blocks:
         pts = cube_lattice(
             block.start, block.end, scene.particle_radius,

@@ -75,13 +75,16 @@ class SolverBase:
         accounting replaces the reference's fixed caps of 100/1000 neighbors,
         partice_system.py:25-26 / partice_systemv3.py:26-27) and precompute
         static boundary volumes.  Returns the (possibly updated) state."""
+        if self.spec is None or self.sweep_cfg is None:
+            probe = self.spec if self.spec is not None else self._make_spec(run_cap=8)
+            block = self.sweep_cfg.block_size if self.sweep_cfg is not None else 128
+            # one device pass; only scalars cross the host boundary
+            run_len, window, _ = gridops.measure_caps_device(state, probe, block)
         if self.spec is None:
-            probe = self._make_spec(run_cap=8)
-            cap = gridops.suggest_run_cap(state, probe)
+            cap = max(8, -(-int(run_len * 1.5) // 8) * 8)
             self.spec = self._make_spec(cap)
         if self.sweep_cfg is None:
-            block = 128
-            wcap = gridops.suggest_window_cap(state, self.spec, block)
+            wcap = max(128, -(-int(window * 1.5) // 128) * 128)
             impl = "pallas" if jax.default_backend() == "tpu" else "blocked"
             self.sweep_cfg = SweepConfig(impl=impl, block_size=block, window_cap=wcap)
         if self.sweep_cfg.impl == "pallas":
@@ -118,7 +121,14 @@ class SolverBase:
         if not bool(jax.device_get(jnp.any(state.boundary_mask))):
             return state  # no boundary particles at all
 
-        spec, params, scfg = self.spec, self.params, self.sweep_cfg
+        spec, params = self.spec, self.params
+        # one-time pass: always use the jnp blocked sweep (the pallas impl
+        # shares its window parameters but has its own data layout)
+        import dataclasses as _dc
+
+        scfg = self.sweep_cfg
+        if scfg.impl == "pallas":
+            scfg = _dc.replace(scfg, impl="blocked")
 
         @jax.jit
         def _compute(st: SimState) -> SimState:

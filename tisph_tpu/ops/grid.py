@@ -24,6 +24,7 @@ exact.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Sequence
 
@@ -333,10 +334,17 @@ def _host_runs(state: SimState, spec: GridSpec) -> np.ndarray:
     return runs
 
 
-def suggest_window_cap(state: SimState, spec: GridSpec, block_size: int, slack: float = 1.5) -> int:
+def suggest_window_cap(
+    state: SimState,
+    spec: GridSpec,
+    block_size: int,
+    slack: float = 1.5,
+    runs: np.ndarray | None = None,
+) -> int:
     """Measure the max block window of the initial configuration and pad
     with slack, rounded to a multiple of 128 (lane width).  Host-side."""
-    runs = _host_runs(state, spec)
+    if runs is None:
+        runs = _host_runs(state, spec)
     n = runs.shape[0]
     nb = -(-n // block_size)
     pad = nb * block_size - n
@@ -404,9 +412,52 @@ def suggest_halo_rows(
     return max(128, int(-(-(worst * slack) // 128) * 128))
 
 
-def suggest_run_cap(state: SimState, spec: GridSpec, slack: float = 1.5) -> int:
+def measure_caps_device(
+    state: SimState, spec: GridSpec, block_size: int, shard_rows: int | None = None
+) -> tuple[int, int, int]:
+    """One jitted device pass measuring (max_run_len, max_block_window,
+    max_halo_reach) of the current configuration; only scalars cross the
+    device->host boundary (fetching whole arrays through a tunneled TPU
+    costs tens of seconds at 1M particles)."""
+
+    @functools.partial(jax.jit, static_argnums=(1, 2))
+    def _measure(st: SimState, block: int, srows: int | None):
+        st_s, ids, _ = sort_state_by_cell(st, spec)
+        bounds = csr_bounds(ids, spec)
+        coords = cell_coords(st_s.x, spec)
+        runs = stencil_runs(coords, bounds, spec)
+        inact = (ids >= spec.num_cells)[:, None, None]
+        runs = jnp.where(inact, jnp.asarray(st.capacity, runs.dtype), runs)
+        run_len = jnp.max(runs[..., 1] - runs[..., 0])
+        window = max_window_length(runs, block)
+        if srows:
+            n = runs.shape[0]
+            nb = n // srows
+            starts = jnp.where(
+                runs[..., 0] >= runs[..., 1], np.iinfo(np.int32).max, runs[..., 0]
+            ).reshape(nb, srows, -1)
+            ends = jnp.where(
+                runs[..., 0] >= runs[..., 1], 0, runs[..., 1]
+            ).reshape(nb, srows, -1)
+            own_start = jnp.arange(nb) * srows
+            own_end = own_start + srows
+            left = jnp.max(own_start[:, None] - jnp.min(starts, axis=1).min(axis=-1)[:, None])
+            right = jnp.max(jnp.max(ends, axis=1).max(axis=-1)[:, None] - own_end[:, None])
+            halo = jnp.maximum(jnp.maximum(left, right), 0)
+        else:
+            halo = jnp.asarray(0)
+        return run_len, window, halo
+
+    r, w, h = jax.device_get(_measure(state, block_size, shard_rows))
+    return int(r), int(w), int(h)
+
+
+def suggest_run_cap(
+    state: SimState, spec: GridSpec, slack: float = 1.5, runs: np.ndarray | None = None
+) -> int:
     """Measure the max run length of the initial configuration and pad with
     slack, rounded to a multiple of 8.  Host-side, at build time."""
-    runs = _host_runs(state, spec)
+    if runs is None:
+        runs = _host_runs(state, spec)
     m = int((runs[..., 1] - runs[..., 0]).max())
     return max(8, int(-(-(m * slack) // 8) * 8))

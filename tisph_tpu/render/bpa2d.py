@@ -77,11 +77,61 @@ def _trace_group_numpy(pts: np.ndarray, members: np.ndarray, radius: float) -> n
     return np.asarray(order, dtype=np.int64)
 
 
+def surface_prefilter(
+    pts: np.ndarray, radius: float, rel_threshold: float = 0.8
+) -> np.ndarray:
+    """Indices of likely-surface points: neighbor count below
+    ``rel_threshold`` x the 90th-percentile count (interior points of a
+    dense set have full neighborhoods; surface points roughly half).
+    Grid-binned O(n * occupancy); makes million-point BPA feasible (the
+    pivot walk is O(boundary * candidates))."""
+    n = pts.shape[0]
+    cell = np.floor(pts / radius).astype(np.int64)
+    from collections import defaultdict
+
+    tmp = defaultdict(list)
+    for i, c in enumerate(map(tuple, cell)):
+        tmp[c].append(i)
+    buckets = {k: np.asarray(v) for k, v in tmp.items()}
+    r2 = radius * radius
+    counts = np.zeros(n, dtype=np.int64)
+    offs = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1), (1, -1), (1, 0), (1, 1)]
+    for key, members in buckets.items():
+        cand = [buckets[k2] for k2 in ((key[0] + o[0], key[1] + o[1]) for o in offs) if k2 in buckets]
+        cand = np.concatenate(cand)
+        d2 = ((pts[members][:, None, :] - pts[cand][None, :, :]) ** 2).sum(-1)
+        counts[members] = (d2 < r2).sum(axis=1) - 1  # minus self
+    full = np.percentile(counts, 90)
+    return np.flatnonzero(counts < rel_threshold * max(full, 1.0))
+
+
 def extract_boundary_2d(
-    points: np.ndarray, radius: float, use_native: bool = True
+    points: np.ndarray,
+    radius: float,
+    use_native: bool = True,
+    prefilter_above: int = 50_000,
 ) -> Boundary2D:
-    """Cluster + per-group ball-pivot boundary walk."""
-    pts = np.asarray(points, dtype=np.float64)
+    """Cluster + per-group ball-pivot boundary walk.
+
+    Above ``prefilter_above`` points, interior points are removed first via
+    :func:`surface_prefilter` (the walk only ever visits surface points);
+    the returned indices still refer to the ORIGINAL point array.
+    """
+    pts_all = np.asarray(points, dtype=np.float64)
+    sel = None
+    if prefilter_above and pts_all.shape[0] > prefilter_above:
+        # 3D-projected clouds stack many z-layers onto each xy point —
+        # dedupe to one representative per (radius/3) grid cell first, or
+        # the per-bucket pairwise counts blow up quadratically.
+        key = np.round(pts_all / (radius / 3.0)).astype(np.int64)
+        _, uniq_idx = np.unique(key, axis=0, return_index=True)
+        sel = np.sort(uniq_idx)
+        if sel.shape[0] > prefilter_above:
+            sub = surface_prefilter(pts_all[sel], radius)
+            sel = sel[sub]
+        pts = pts_all[sel]
+    else:
+        pts = pts_all
     groups = cluster_points(pts, radius, use_native=use_native)
 
     lib = None
@@ -114,4 +164,8 @@ def extract_boundary_2d(
         if edge_list
         else np.zeros((0, 2), dtype=np.int64)
     )
+    if sel is not None:  # remap filtered indices back to the original array
+        loops = [sel[l] for l in loops]
+        edges = sel[edges] if edges.size else edges
+        pts = pts_all
     return Boundary2D(points=pts, loops=loops, edges=edges)
