@@ -71,6 +71,33 @@ def test_sharded_matches_single_device(n_devices):
     np.testing.assert_allclose(r1, r2, rtol=1e-4)
 
 
+def test_sharded_pallas_matches_blocked():
+    """The pallas-in-shard_map path (interpret mode on the CPU mesh) must
+    reproduce the blocked-sharded trajectory."""
+    from tisph_tpu.ops.neighbors import SweepConfig
+
+    scene = _scene(radius=0.04)
+    mesh = make_mesh(4)
+    s_b = ShardedWCSPH(
+        scene, mesh,
+        sweep_cfg=SweepConfig(impl="blocked", block_size=128, window_cap=1024),
+    )
+    st_b = s_b.bind(tt.build_state(scene))
+    s_p = ShardedWCSPH(
+        scene, mesh,
+        sweep_cfg=SweepConfig(impl="pallas", block_size=128, window_cap=1152,
+                              tile=128, interpret=True),
+    )
+    st_p = s_p.bind(tt.build_state(scene))
+    for _ in range(3):
+        st_b = s_b.step(st_b)
+        st_p = s_p.step(st_p)
+    ob, op = jax.device_get(st_b), jax.device_get(st_p)
+    assert (np.asarray(ob.material) == np.asarray(op.material)).all()
+    f = np.asarray(ob.material) == 1
+    assert np.abs(np.asarray(ob.x) - np.asarray(op.x))[f].max() < 1e-5
+
+
 def test_sharded_metrics_finite():
     scene = _scene()
     state = tt.build_state(scene)

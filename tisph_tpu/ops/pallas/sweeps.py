@@ -126,7 +126,14 @@ def _sweep_kernel(
 
     blk = pl.program_id(0)
     mrow = jax.lax.rem(blk, 8)
-    own = blk * block + jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
+    # self-pair exclusion uses j-array coordinates: the i side sits at an
+    # offset within the j array in the halo-extended sharded setting; the
+    # offset rides in the spare last meta column (0 single-device)
+    i_off = meta_ref[mrow, 127]
+    own = (
+        i_off + blk * block
+        + jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
+    )
 
     if mode == "density":
         m_i = ipack_ref[_M, :]
@@ -250,6 +257,8 @@ def block_meta(
     spec: GridSpec,
     block: int,
     window: int,
+    ids_i: jax.Array | None = None,
+    i_offset: jax.Array | int | None = 0,
 ) -> jax.Array:
     """(ceil8(num_blocks), 128) i32: per block, [wstarts | wlens] padded.
 
@@ -258,8 +267,15 @@ def block_meta(
     ends   = searchsorted of max-over-block row c_hi + 1.
     Min/max reductions (not first/last sampling) because the inactive
     padding tail has position-derived coords that break the monotonicity
-    the active particles' sorted order guarantees."""
+    the active particles' sorted order guarantees.
+
+    In the sharded setting the i side (``coords``/``ids_i``) is a sub-range
+    of the halo-extended j array (``sorted_ids``); window indices are in
+    j-array coordinates."""
+    n_j = sorted_ids.shape[0]
     n = coords.shape[0]
+    if ids_i is None:
+        ids_i = sorted_ids
     offsets = _row_offsets(spec)
     res = np.asarray(spec.res)
     strides = np.asarray(spec.strides)
@@ -280,7 +296,7 @@ def block_meta(
     # Exclude inactive (sentinel-id) rows from the reductions: their coords
     # come from parked positions, and letting them drag the min start down
     # would truncate the capped window before the block's ACTIVE particles.
-    inactive = (sorted_ids >= spec.num_cells)[:, None]
+    inactive = (ids_i >= spec.num_cells)[:, None]
     c_lo_all = jnp.where(inactive, spec.num_cells, jnp.stack(lo_list, 1))
     c_hi_all = jnp.where(inactive, -1, jnp.stack(hi_list, 1))
     c_lo = c_lo_all.reshape(num_blocks, block, -1)
@@ -292,22 +308,32 @@ def block_meta(
     starts = starts.reshape(num_blocks, -1).astype(jnp.int32)
     ends = ends.reshape(num_blocks, -1).astype(jnp.int32)
     starts_q = (starts // _LANE) * _LANE  # lane-aligned DMA offsets
-    starts_q = jnp.clip(starts_q, 0, max(n - window, 0))
+    starts_q = jnp.clip(starts_q, 0, max(n_j - window, 0))
     lens = jnp.clip(ends - starts_q, 0, window)
     meta = jnp.concatenate([starts_q, lens], axis=1)
-    # pad to (ceil8(num_blocks), 128) for aligned (8, 128) VMEM tiles
+    # pad to (ceil8(num_blocks), 128) for aligned (8, 128) VMEM tiles; the
+    # last column carries the i-side offset within the j array (see
+    # _sweep_kernel's self-exclusion)
     nb8 = int(-(-num_blocks // 8) * 8)
-    return jnp.pad(meta, ((0, nb8 - num_blocks), (0, 128 - meta.shape[1])))
+    meta = jnp.pad(meta, ((0, nb8 - num_blocks), (0, 128 - meta.shape[1])))
+    if i_offset is not None:
+        meta = meta.at[:, 127].set(jnp.asarray(i_offset, jnp.int32))
+    return meta
 
 
-def _run_sweep(pack, meta, mode, spec, params, block, window, tile, interpret):
-    n = pack.shape[1]
-    num_blocks = n // block
+def _run_sweep(pack, meta, mode, spec, params, block, window, tile, interpret,
+               ipack=None):
+    """``ipack``: in the sharded setting the i side is a local (16, N_i)
+    slice of the j array ``pack`` (its offset rides in meta col 127)."""
+    if ipack is None:
+        ipack = pack
+    n_i = ipack.shape[1]
+    num_blocks = n_i // block
     out_cols = 8
     kern = functools.partial(
         _sweep_kernel,
         mode=mode, spec=spec, params=params,
-        block=block, window=window, tile=tile,
+        block=block, window=min(window, pack.shape[1]), tile=tile,
     )
     out = pl.pallas_call(
         kern,
@@ -321,23 +347,27 @@ def _run_sweep(pack, meta, mode, spec, params, block, window, tile, interpret):
         ],
         out_specs=pl.BlockSpec((block, out_cols), lambda k: (k, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, out_cols), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_i, out_cols), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, F_ROWS, window), jnp.float32),
+            pltpu.VMEM((2, F_ROWS, min(window, pack.shape[1])), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(meta, pack, pack)
+    )(meta, ipack, pack)
     return out
 
 
-def density_sweep(pack, meta, spec, params, block, window, tile=256, interpret=False):
+def density_sweep(pack, meta, spec, params, block, window, tile=256,
+                  interpret=False, ipack=None):
     """rho_i = m_i W(0) + sum_j eff_mass_j W (fluid mask applied by caller)."""
-    out = _run_sweep(pack, meta, "density", spec, params, block, window, tile, interpret)
+    out = _run_sweep(pack, meta, "density", spec, params, block, window, tile,
+                     interpret, ipack)
     return out[:, 0]
 
 
-def force_sweep(pack, meta, spec, params, block, window, tile=256, interpret=False):
+def force_sweep(pack, meta, spec, params, block, window, tile=256,
+                interpret=False, ipack=None):
     """Fused non-pressure + pressure dv (gravity included)."""
-    out = _run_sweep(pack, meta, "force", spec, params, block, window, tile, interpret)
+    out = _run_sweep(pack, meta, "force", spec, params, block, window, tile,
+                     interpret, ipack)
     return out[:, : spec.dim]

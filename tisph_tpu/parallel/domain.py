@@ -42,8 +42,19 @@ from tisph_tpu.ops.neighbors import NeighborData, SweepConfig, neighbor_sweep_bl
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "shard") -> Mesh:
+    """1-D mesh over the default backend's devices; when more devices are
+    requested than the backend has, falls back to the virtual CPU platform
+    (xla_force_host_platform_device_count) so multi-chip code paths remain
+    testable on a single chip."""
     devs = jax.devices()
+    if n_devices is not None and len(devs) < n_devices:
+        devs = jax.devices("cpu")
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise ValueError(
+                f"need {n_devices} devices, have {len(devs)} "
+                "(set XLA_FLAGS=--xla_force_host_platform_device_count=N)"
+            )
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), (axis,))
 
@@ -77,13 +88,28 @@ class ShardedWCSPH(SolverBase):
         """Resolve caps, precompute static boundary volumes, pad capacity to
         a shard-divisible size, and device_put with the particle-axis
         sharding."""
+        if self.spec is None or self.sweep_cfg is None:
+            probe = self.spec if self.spec is not None else self._make_spec(run_cap=8)
+            block = self.sweep_cfg.block_size if self.sweep_cfg is not None else 128
+            run_len, window, _ = gridops.measure_caps_device(state, probe, block)
         if self.spec is None:
-            probe = self._make_spec(run_cap=8)
-            self.spec = self._make_spec(gridops.suggest_run_cap(state, probe))
+            self.spec = self._make_spec(max(8, -(-int(run_len * 1.5) // 8) * 8))
         if self.sweep_cfg is None:
-            block = 128
-            wcap = gridops.suggest_window_cap(state, self.spec, block)
-            self.sweep_cfg = SweepConfig(impl="blocked", block_size=block, window_cap=wcap)
+            wcap = max(128, -(-int(window * 1.5) // 128) * 128)
+            # select by the MESH's platform (it may be the virtual CPU mesh
+            # even when the default backend is a TPU)
+            platform = self.mesh.devices.ravel()[0].platform
+            impl = "pallas" if platform == "tpu" else "blocked"
+            self.sweep_cfg = SweepConfig(impl=impl, block_size=block, window_cap=wcap)
+        if self.sweep_cfg.impl == "pallas":
+            import dataclasses as _dc
+
+            cfg = self.sweep_cfg
+            wcap = int(-(-(cfg.window_cap + 128) // cfg.tile) * cfg.tile)
+            if wcap != cfg.window_cap:
+                self.sweep_cfg = _dc.replace(cfg, window_cap=wcap)
+            if self.spec.num_cells >= 2**24:
+                raise ValueError("pallas sweep needs num_cells < 2**24")
         state = self._precompute_boundary_volumes(state)
 
         # pad capacity so each shard gets an equal, block-divisible chunk
@@ -103,9 +129,13 @@ class ShardedWCSPH(SolverBase):
         self._shard_rows = cap // self.n_shards
         if self.halo is None:
             # halo depth in rows: furthest stencil reach across any shard
-            # boundary (measured; grows with per-x-slab particle counts),
-            # capped at the whole remainder of the array
-            h = gridops.suggest_halo_rows(state, self.spec, self._shard_rows)
+            # boundary (measured on device; grows with per-x-slab particle
+            # counts), padded with 2x slack and capped at the whole
+            # remainder of the array
+            _, _, reach = gridops.measure_caps_device(
+                state, self.spec, self.sweep_cfg.block_size, self._shard_rows
+            )
+            h = max(128, -(-int(reach * 2.0) // 128) * 128)
             self.halo = min(h, (self.n_shards - 1) * self._shard_rows) if self.n_shards > 1 else 128
         return self.shard_state(state)
 
@@ -239,6 +269,54 @@ class ShardedWCSPH(SolverBase):
         dens_k = F.density_kernel(params, spec)
         force_k = F.force_kernel(params, spec)
 
+        def sweep_shard(mode, kern, ids_l, x, v, density, pressure, mass, volume, material):
+            """One halo-extended sweep on this shard (blocked or pallas)."""
+            f_local = dict(
+                x=x, v=v, density=density, pressure=pressure,
+                mass=mass, volume=volume, material=material,
+            )
+            f_ext, ids_e, off = self._extend(f_local, ids_l, hn, hops, shard_rows)
+            coords_l = gridops.cell_coords(x, spec)
+            if scfg.impl == "pallas":
+                from tisph_tpu.ops.pallas import sweeps as ps
+
+                meta = ps.block_meta(
+                    ids_e, coords_l, spec, scfg.block_size, scfg.window_cap,
+                    ids_i=ids_l, i_offset=off,
+                )
+                pack_ext = ps.pack_state(
+                    f_ext["x"], f_ext["v"], f_ext["density"], f_ext["pressure"],
+                    f_ext["mass"], f_ext["volume"], f_ext["material"], ids_e,
+                    params,
+                )
+                ipack = jax.lax.dynamic_slice_in_dim(
+                    pack_ext, off, x.shape[0], axis=1
+                )
+                fn = ps.density_sweep if mode == "density" else ps.force_sweep
+                out = fn(pack_ext, meta, spec, params, scfg.block_size,
+                         scfg.window_cap, tile=scfg.tile,
+                         interpret=scfg.interpret, ipack=ipack)
+                acc = {"rho": out} if mode == "density" else {"dv": out}
+            else:
+                nd = NeighborData(
+                    cell_ranges=gridops.cell_target_ranges(coords_l, spec),
+                    wstarts=gridops.block_window_starts(
+                        ids_e, coords_l, spec, scfg.block_size, ids_i=ids_l
+                    ),
+                    sorted_ids=ids_e,
+                )
+                acc = neighbor_sweep_blocked(
+                    nd.cell_ranges, nd.wstarts, nd.sorted_ids, f_ext["x"],
+                    kern[0](f_local), kern[1](f_ext), kern[2], kern[3](f_local),
+                    spec, params.support_length, scfg.block_size,
+                    scfg.window_cap, x_i=x, i_offset=off,
+                )
+            if mode == "density":
+                fluid = material == 1
+                return jnp.where(fluid, acc["rho"], density)
+            fluid = (material == 1)[:, None]
+            return jnp.where(fluid, acc["dv"], 0.0)
+
         @partial(
             jax.shard_map,
             mesh=self.mesh,
@@ -246,30 +324,8 @@ class ShardedWCSPH(SolverBase):
             out_specs=axis_spec,
             check_vma=False,
         )
-        def density_shard(ids_l, x, v, density, pressure, mass, volume, material):
-            f_local = dict(
-                x=x, v=v, density=density, pressure=pressure,
-                mass=mass, volume=volume, material=material,
-            )
-            f_ext, ids_e, off = self._extend(f_local, ids_l, hn, hops, shard_rows)
-            coords_l = gridops.cell_coords(x, spec)
-            nd = NeighborData(
-                cell_ranges=gridops.cell_target_ranges(coords_l, spec),
-                wstarts=gridops.block_window_starts(
-                    ids_e, coords_l, spec, scfg.block_size, ids_i=ids_l
-                ),
-                sorted_ids=ids_e,
-            )
-            acc = neighbor_sweep_blocked(
-                nd.cell_ranges, nd.wstarts, nd.sorted_ids, f_ext["x"],
-                dens_k[0](f_local), dens_k[1](f_ext), dens_k[2],
-                dens_k[3](f_local),
-                spec, params.support_length, scfg.block_size, scfg.window_cap,
-                x_i=x, i_offset=off,
-            )
-            rho = acc["rho"]
-            fluid = material == 1
-            return jnp.where(fluid, rho, density)
+        def density_shard(ids_l, *fields):
+            return sweep_shard("density", dens_k, ids_l, *fields)
 
         f = F.state_fields(state)
         density = density_shard(sorted_ids, *[f[k] for k in _FIELD_KEYS])
@@ -285,29 +341,8 @@ class ShardedWCSPH(SolverBase):
             out_specs=axis_spec,
             check_vma=False,
         )
-        def force_shard(ids_l, x, v, density, pressure, mass, volume, material):
-            f_local = dict(
-                x=x, v=v, density=density, pressure=pressure,
-                mass=mass, volume=volume, material=material,
-            )
-            f_ext, ids_e, off = self._extend(f_local, ids_l, hn, hops, shard_rows)
-            coords_l = gridops.cell_coords(x, spec)
-            nd = NeighborData(
-                cell_ranges=gridops.cell_target_ranges(coords_l, spec),
-                wstarts=gridops.block_window_starts(
-                    ids_e, coords_l, spec, scfg.block_size, ids_i=ids_l
-                ),
-                sorted_ids=ids_e,
-            )
-            acc = neighbor_sweep_blocked(
-                nd.cell_ranges, nd.wstarts, nd.sorted_ids, f_ext["x"],
-                force_k[0](f_local), force_k[1](f_ext), force_k[2],
-                force_k[3](f_local),
-                spec, params.support_length, scfg.block_size, scfg.window_cap,
-                x_i=x, i_offset=off,
-            )
-            fluid = (material == 1)[:, None]
-            return jnp.where(fluid, acc["dv"], 0.0)
+        def force_shard(ids_l, *fields):
+            return sweep_shard("force", force_k, ids_l, *fields)
 
         f = F.state_fields(state)
         d_velocity = force_shard(sorted_ids, *[f[k] for k in _FIELD_KEYS])
