@@ -119,3 +119,23 @@ def test_legacy_solver_runs():
     scene, solver, state = _run("scenes/demo_2d.json", steps=20, solver_cls=tt.WCSPHLegacy)
     n = int(state.num_active)
     assert np.isfinite(np.asarray(state.x)[:n]).all()
+
+
+def test_legacy_solver_with_pallas_config():
+    """Regression: a pallas SweepConfig (the TPU auto-default) must fall
+    back to the generic blocked path for non-WCSPH sweeps instead of
+    raising 'unknown sweep impl'."""
+    from tisph_tpu.ops.neighbors import SweepConfig
+
+    scene = tt.load_scene("scenes/demo_2d.json")
+    state = tt.build_state(scene)
+    solver = tt.WCSPHLegacy(
+        scene,
+        sweep_cfg=SweepConfig(impl="pallas", block_size=128, window_cap=512,
+                              tile=128, interpret=True),
+    )
+    state = solver.bind(state)
+    state = solver.step(state)
+    out = jax.device_get(state)
+    n = int(out.num_active)
+    assert np.isfinite(np.asarray(out.x)[:n]).all()

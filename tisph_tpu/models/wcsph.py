@@ -87,7 +87,7 @@ class WCSPH(SolverBase):
 
         rho = ps.density_sweep(
             pack, meta, spec, params, scfg.block_size, scfg.window_cap,
-            tile=scfg.tile, interpret=scfg.interpret,
+            tile=scfg.tile, interpret=scfg.interpret, fast_math=scfg.fast_math,
         )
         rho = jnp.where(state.fluid_mask, rho, state.density)
         rho, pressure = F.compute_pressures(rho, params)
@@ -96,7 +96,7 @@ class WCSPH(SolverBase):
 
         dv = ps.force_sweep(
             pack, meta, spec, params, scfg.block_size, scfg.window_cap,
-            tile=scfg.tile, interpret=scfg.interpret,
+            tile=scfg.tile, interpret=scfg.interpret, fast_math=scfg.fast_math,
         )
         dv = jnp.where(state.fluid_mask[:, None], dv, 0.0)
 

@@ -373,7 +373,7 @@ def build_neighbor_data(sorted_state, sorted_ids: jax.Array, spec: GridSpec, cfg
     if cfg.impl == "gather":
         bounds = csr_bounds(sorted_ids, spec)
         return NeighborData(runs=stencil_runs(coords, bounds, spec))
-    if cfg.impl == "blocked":
+    if cfg.impl in ("blocked", "pallas"):  # pallas generic path = blocked
         return NeighborData(
             cell_ranges=cell_target_ranges(coords, spec),
             wstarts=block_window_starts(sorted_ids, coords, spec, cfg.block_size),

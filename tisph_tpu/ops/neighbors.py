@@ -56,6 +56,9 @@ class SweepConfig:
     window_cap: int = 1024         # blocked/pallas impl: candidate window length
     tile: int = 128                # pallas impl: inner j-tile (lanes)
     interpret: bool = False        # pallas impl: interpreter mode (CPU tests)
+    fast_math: bool = True         # pallas impl: approx reciprocals on the
+    #                                viscosity-only divides (~2^-12 rel err
+    #                                on a heuristic dissipation term)
 
 
 def sweep(
@@ -71,7 +74,12 @@ def sweep(
     x_i: jax.Array | None = None,
     i_offset: int = 0,
 ):
-    """Dispatch to the configured sweep implementation."""
+    """Dispatch to the configured sweep implementation.
+
+    impl='pallas' falls back to 'blocked' here: the Pallas kernels implement
+    the two WCSPH sweeps specifically, while this generic task-callback path
+    serves everything else (legacy solver, boundary volumes, tests).
+    """
     if cfg.impl == "gather":
         if x_i is not None:
             raise NotImplementedError("halo-extended i side requires impl='blocked'")
@@ -79,7 +87,7 @@ def sweep(
             nd.runs, x_sorted, i_fields, j_fields, pair_fn, init_acc,
             spec, support_length, cfg.chunk_size,
         )
-    if cfg.impl == "blocked":
+    if cfg.impl in ("blocked", "pallas"):
         return neighbor_sweep_blocked(
             nd.cell_ranges, nd.wstarts, nd.sorted_ids, x_sorted,
             i_fields, j_fields, pair_fn, init_acc,

@@ -103,6 +103,7 @@ def _sweep_kernel(
     block: int,
     window: int,
     tile: int,
+    fast_math: bool = True,
 ):
     dim = spec.dim
     h = params.support_length
@@ -227,10 +228,19 @@ def _sweep_kernel(
             dot = jnp.zeros((block, tile), jnp.float32)
             for a in range(dim):
                 dot = dot + (vi[a][:, None] - jrow(_V + a)[None, :]) * dx[a]
-            dot_neg = jnp.minimum(dot, 0.0) / (r2 + 0.01 * h * h)
+            # both divides feed only the (heuristic) viscosity terms;
+            # fast_math uses the VPU's approximate reciprocal (~2^-12 rel)
+            if fast_math:
+                dot_neg = jnp.minimum(dot, 0.0) * pl.reciprocal(
+                    r2 + 0.01 * h * h, approx=True
+                )
+                inv_rho_sum = pl.reciprocal(rho_i + rho_j, approx=True)
+            else:
+                dot_neg = jnp.minimum(dot, 0.0) / (r2 + 0.01 * h * h)
+                inv_rho_sum = 1.0 / (rho_i + rho_j)
 
             coh_coef = -(params.surface_tension * inv_m_i) * fl * m_j * w
-            nu_f = (2.0 * params.viscosity * h * params.c_s) / (rho_i + rho_j)
+            nu_f = (2.0 * params.viscosity * h * params.c_s) * inv_rho_sum
             grad_coef = fl * m_j * nu_f * dot_neg
             nu_b = params.boundary_sigma * h * params.c_s / (2.0 * rho_i)
             grad_coef = grad_coef + bd * bvol_j * nu_b * dot_neg
@@ -322,7 +332,7 @@ def block_meta(
 
 
 def _run_sweep(pack, meta, mode, spec, params, block, window, tile, interpret,
-               ipack=None):
+               ipack=None, fast_math=True):
     """``ipack``: in the sharded setting the i side is a local (16, N_i)
     slice of the j array ``pack`` (its offset rides in meta col 127)."""
     if ipack is None:
@@ -334,6 +344,7 @@ def _run_sweep(pack, meta, mode, spec, params, block, window, tile, interpret,
         _sweep_kernel,
         mode=mode, spec=spec, params=params,
         block=block, window=min(window, pack.shape[1]), tile=tile,
+        fast_math=fast_math and not interpret,  # approx recip is TPU-only
     )
     out = pl.pallas_call(
         kern,
@@ -358,16 +369,16 @@ def _run_sweep(pack, meta, mode, spec, params, block, window, tile, interpret,
 
 
 def density_sweep(pack, meta, spec, params, block, window, tile=256,
-                  interpret=False, ipack=None):
+                  interpret=False, ipack=None, fast_math=True):
     """rho_i = m_i W(0) + sum_j eff_mass_j W (fluid mask applied by caller)."""
     out = _run_sweep(pack, meta, "density", spec, params, block, window, tile,
-                     interpret, ipack)
+                     interpret, ipack, fast_math)
     return out[:, 0]
 
 
 def force_sweep(pack, meta, spec, params, block, window, tile=256,
-                interpret=False, ipack=None):
+                interpret=False, ipack=None, fast_math=True):
     """Fused non-pressure + pressure dv (gravity included)."""
     out = _run_sweep(pack, meta, "force", spec, params, block, window, tile,
-                     interpret, ipack)
+                     interpret, ipack, fast_math)
     return out[:, : spec.dim]

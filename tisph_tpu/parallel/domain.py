@@ -295,7 +295,8 @@ class ShardedWCSPH(SolverBase):
                 fn = ps.density_sweep if mode == "density" else ps.force_sweep
                 out = fn(pack_ext, meta, spec, params, scfg.block_size,
                          scfg.window_cap, tile=scfg.tile,
-                         interpret=scfg.interpret, ipack=ipack)
+                         interpret=scfg.interpret, ipack=ipack,
+                         fast_math=scfg.fast_math)
                 acc = {"rho": out} if mode == "density" else {"dv": out}
             else:
                 nd = NeighborData(
