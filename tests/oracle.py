@@ -52,6 +52,82 @@ def cubic_gw(r_vec: np.ndarray, h: float, dim: int) -> np.ndarray:
     return out
 
 
+class OracleWCSPHV1:
+    """Intended V1 physics (sph_base.py + wcsph.py, bug-corrected — see
+    models/wcsph_legacy.py docstring): unit-volume density, Laplacian-style
+    viscosity over all neighbors, scalar gravity on the last axis,
+    per-axis boundary reflection."""
+
+    def __init__(self, dim, domain_start, domain_end, particle_radius,
+                 density0=1000.0, dt=2e-4, stiffness=50.0, exponent=7.0,
+                 viscosity=0.05, collision_factor=0.5):
+        self.dim = dim
+        self.domain_start = np.asarray(domain_start, dtype=np.float64)
+        self.domain_end = np.asarray(domain_end, dtype=np.float64)
+        self.h = 4.0 * particle_radius
+        self.padding = self.h
+        self.m_v = 0.8 * (2.0 * particle_radius) ** dim
+        self.mass = self.m_v * density0
+        self.density0 = density0
+        self.dt = dt
+        self.stiffness = stiffness
+        self.exponent = exponent
+        self.viscosity = viscosity
+        self.collision_factor = collision_factor
+
+    def step(self, x, v, density, pressure, volume, material):
+        x = x.astype(np.float64).copy()
+        v = v.astype(np.float64).copy()
+        density = density.astype(np.float64).copy()
+        volume = volume.astype(np.float64).copy()
+        fluid = material == MATERIAL_FLUID
+        bound = material == MATERIAL_BOUNDARY
+        n = x.shape[0]
+
+        r = x[:, None, :] - x[None, :, :]
+        d = np.linalg.norm(r, axis=-1)
+        mask = (d < self.h) & ~np.eye(n, dtype=bool)
+        w = cubic_w(d, self.h, self.dim) * mask
+        gw = cubic_gw(r, self.h, self.dim) * mask[..., None]
+
+        # Akinci boundary volume (shared with V2)
+        w0 = cubic_w(np.zeros(1), self.h, self.dim)[0]
+        delta = w0 + (w * bound[None, :]).sum(axis=1)
+        volume = np.where(bound, 1.0 / np.maximum(delta, 1e-10), volume)
+
+        # density: rho0 * sum_{j fluid} m_V W (no self term; wcsph.py:18-32)
+        rho_new = self.density0 * (w * fluid[None, :] * self.m_v).sum(axis=1)
+        density = np.where(fluid, rho_new, density)
+        density = np.maximum(density, self.density0)
+        pressure = self.stiffness * ((density / self.density0) ** self.exponent - 1.0)
+
+        dv = np.zeros_like(x)
+        dv[:, self.dim - 1] = -9.80  # const.py:2
+        v_ij = v[:, None, :] - v[None, :, :]
+        dot = (v_ij * r).sum(axis=-1)
+        # viscosity over ALL neighbors (sph_base.py:77-84)
+        coef = (2.0 * (self.dim + 2) * self.viscosity
+                * (self.mass / density[None, :]) * dot / (d**2 + 0.01 * self.h**2))
+        p_rho2 = pressure / density**2
+        coef = coef - fluid[None, :] * (self.density0 * self.m_v) * (
+            p_rho2[:, None] + p_rho2[None, :]
+        )
+        coef = coef - bound[None, :] * (self.density0 * volume[None, :]) * p_rho2[:, None]
+        dv += (np.where(mask, coef, 0.0)[..., None] * gw).sum(axis=1)
+        dv = np.where(fluid[:, None], dv, 0.0)
+
+        v = np.where(fluid[:, None], v + self.dt * dv, v)
+        x = np.where(fluid[:, None], x + self.dt * v, x)
+
+        lo = self.domain_start + self.padding
+        hi = self.domain_end - self.padding
+        out = (x < lo) | (x > hi)
+        x = np.where(fluid[:, None], np.clip(x, lo, hi), x)
+        v = np.where(fluid[:, None] & out,
+                     v - (1.0 + self.collision_factor) * v, v)
+        return x, v, density, pressure, volume
+
+
 class OracleWCSPH:
     """Reference-equation simulator over plain arrays (intended V2 physics)."""
 

@@ -115,6 +115,53 @@ def test_single_step_matches_oracle(dim):
     np.testing.assert_allclose(drhos, orhos, rtol=2e-4)
 
 
+@pytest.mark.parametrize("dim", [2, 3])
+def test_legacy_single_step_matches_v1_oracle(dim):
+    """WCSPHLegacy vs the intended-V1 float64 oracle."""
+    from tests.oracle import OracleWCSPHV1
+
+    radius = 0.025
+    lo, hi = [0.0] * dim, [1.0] * dim
+    state0 = _mixed_state(dim, seed=99 + dim, radius=radius, domain_lo=lo, domain_hi=hi)
+
+    params = SolverParams(
+        dim=dim,
+        support_length=4 * radius,
+        particle_radius=radius,
+        padding=4 * radius,
+        domain_start=tuple(lo),
+        domain_end=tuple(hi),
+        gravity=(0.0, -9.81, 0.0)[:dim],
+        c_s=88.5,
+    )
+    scene = tt.SceneConfig(
+        dim=dim, domain_start=tuple(lo), domain_end=tuple(hi),
+        particle_radius=radius, c_s=88.5,
+        gravitation=(0.0, -9.81, 0.0)[:dim],
+    )
+    solver = tt.WCSPHLegacy(scene, params=params)
+    state = solver.bind(state0)
+    dev = jax.device_get(solver.step(state))
+
+    n = int(state0.num_active)
+    oracle = OracleWCSPHV1(dim=dim, domain_start=lo, domain_end=hi, particle_radius=radius)
+    ox = np.asarray(state0.x)[:n]
+    ov = np.asarray(state0.v)[:n]
+    orho = np.asarray(state0.density)[:n]
+    op = np.asarray(state0.pressure)[:n]
+    ovol = np.asarray(state0.volume)[:n]
+    omat = np.asarray(state0.material)[:n]
+    ox, ov, orho, op, ovol = oracle.step(ox, ov, orho, op, ovol, omat)
+
+    dxs, dvs, drhos = _sorted_by_position(
+        np.asarray(dev.x)[:n], np.asarray(dev.v)[:n], np.asarray(dev.density)[:n]
+    )
+    oxs, ovs, orhos = _sorted_by_position(ox.astype(np.float32), ov, orho)
+    np.testing.assert_allclose(dxs, oxs, atol=1e-5)
+    np.testing.assert_allclose(dvs, ovs, atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(drhos, orhos, rtol=2e-4)
+
+
 @pytest.mark.parametrize("dim", [2])
 def test_trajectory_rmse_gate(dim):
     """Multi-step divergence stays within the fp32-vs-fp64 gate

@@ -46,11 +46,16 @@ def load() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int32,
             ctypes.c_double, ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.tisph_neighbor_counts_2d.restype = None
+        lib.tisph_neighbor_counts_2d.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ctypes.c_double, ctypes.POINTER(ctypes.c_int64),
+        ]
         lib.tisph_bpa_trace_2d.restype = ctypes.c_int64
         lib.tisph_bpa_trace_2d.argtypes = [
             ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
-            ctypes.c_double, ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_double, ctypes.c_double, ctypes.POINTER(ctypes.c_int64),
         ]
         _cached = lib
         return lib
@@ -75,13 +80,22 @@ def cluster_points(lib: ctypes.CDLL, pts: np.ndarray, radius: float) -> list[lis
     return groups
 
 
+def neighbor_counts_2d(lib: ctypes.CDLL, pts: np.ndarray, radius: float) -> np.ndarray:
+    pts = np.ascontiguousarray(pts, dtype=np.float64)
+    counts = np.empty(pts.shape[0], dtype=np.int64)
+    lib.tisph_neighbor_counts_2d(_dptr(pts), pts.shape[0], radius, _iptr(counts))
+    return counts
+
+
 def bpa_trace_2d(
-    lib: ctypes.CDLL, pts: np.ndarray, members: np.ndarray, radius: float
+    lib: ctypes.CDLL, pts: np.ndarray, members: np.ndarray, radius: float,
+    max_dist: float = 0.0,
 ) -> np.ndarray:
     pts = np.ascontiguousarray(pts, dtype=np.float64)
     members = np.ascontiguousarray(members, dtype=np.int64)
     out = np.empty(pts.shape[0], dtype=np.int64)
     cnt = lib.tisph_bpa_trace_2d(
-        _dptr(pts), pts.shape[0], _iptr(members), members.shape[0], radius, _iptr(out)
+        _dptr(pts), pts.shape[0], _iptr(members), members.shape[0], radius,
+        max_dist, _iptr(out)
     )
     return out[:cnt].copy()

@@ -117,17 +117,72 @@ int64_t tisph_cluster_points(const double* pts, int64_t n, int32_t dim,
   return ncomp;
 }
 
-// 2D ball-pivoting boundary walk over one point group (reference algorithm,
+// Surface prefilter for 2D point clouds: neighbor count per point via the
+// same grid hash; caller thresholds the counts.  Used to cut million-point
+// BPA inputs down to their surface shell before the pivot walk.
+void tisph_neighbor_counts_2d(const double* pts, int64_t n, double radius,
+                              int64_t* counts) {
+  const double r2 = radius * radius;
+  std::unordered_map<CellKey, std::vector<int64_t>, CellHash> grid;
+  grid.reserve(static_cast<size_t>(n));
+  auto cell_of = [&](int64_t i) {
+    CellKey k{{0, 0, 0}};
+    k.v[0] = static_cast<int64_t>(std::floor(pts[i * 2 + 0] / radius));
+    k.v[1] = static_cast<int64_t>(std::floor(pts[i * 2 + 1] / radius));
+    return k;
+  };
+  for (int64_t i = 0; i < n; ++i) grid[cell_of(i)].push_back(i);
+  for (int64_t i = 0; i < n; ++i) counts[i] = 0;
+  for (const auto& kv : grid) {
+    CellKey nb = kv.first;
+    for (int64_t dx = -1; dx <= 1; ++dx)
+      for (int64_t dy = -1; dy <= 1; ++dy) {
+        nb.v[0] = kv.first.v[0] + dx;
+        nb.v[1] = kv.first.v[1] + dy;
+        auto it = grid.find(nb);
+        if (it == grid.end()) continue;
+        for (int64_t i : kv.second)
+          for (int64_t j : it->second) {
+            if (j == i) continue;
+            const double ax = pts[i * 2] - pts[j * 2];
+            const double ay = pts[i * 2 + 1] - pts[j * 2 + 1];
+            if (ax * ax + ay * ay < r2) ++counts[i];
+          }
+      }
+  }
+}
+
+// 2D ball-pivoting boundary walk over one point group (reference geometry,
 // render/bpa/d2.py:74-137): start from the highest point with the pivot
 // circle directly above; repeatedly advance to the unvisited point with the
 // minimum clockwise angle from the current pivot direction; update the
 // pivot circle to sit on the new chord.  Writes the boundary vertex order
 // into `order_out` (capacity n); returns the boundary length.
+//
+// `max_dist`: candidate search radius.  The reference scans ALL unvisited
+// group members with no distance bound (a true ball pivot can only reach
+// points within the circle's diameter), which degenerates into an O(n^2)
+// tour on dense clouds; max_dist > 0 enables the proper bound via a grid
+// hash (documented divergence; pass <= 0 for reference-exact behavior).
 int64_t tisph_bpa_trace_2d(const double* pts, int64_t n,
                            const int64_t* members, int64_t n_members,
-                           double radius, int64_t* order_out) {
+                           double radius, double max_dist,
+                           int64_t* order_out) {
   if (n_members == 0) return 0;
   std::vector<uint8_t> visited(n, 0);
+
+  std::unordered_map<CellKey, std::vector<int64_t>, CellHash> grid;
+  const bool bounded = max_dist > 0;
+  auto cell_of = [&](int64_t i) {
+    CellKey k{{0, 0, 0}};
+    k.v[0] = static_cast<int64_t>(std::floor(pts[i * 2 + 0] / max_dist));
+    k.v[1] = static_cast<int64_t>(std::floor(pts[i * 2 + 1] / max_dist));
+    return k;
+  };
+  if (bounded) {
+    grid.reserve(static_cast<size_t>(n_members));
+    for (int64_t k = 0; k < n_members; ++k) grid[cell_of(members[k])].push_back(members[k]);
+  }
 
   // highest point of the group
   int64_t cur = members[0];
@@ -142,15 +197,37 @@ int64_t tisph_bpa_trace_2d(const double* pts, int64_t n,
   order_out[count++] = cur;
   visited[cur] = 1;
 
+  std::vector<int64_t> cand;
   while (true) {
     const double px = pts[cur * 2 + 0];
     const double py = pts[cur * 2 + 1];
     const double bx = cx - px, by = cy - py;  // base vector to pivot
     int64_t next = -1;
     double best = 361.0;
-    for (int64_t k = 0; k < n_members; ++k) {
-      const int64_t j = members[k];
-      if (visited[j]) continue;
+
+    cand.clear();
+    if (bounded) {
+      const double md2 = max_dist * max_dist;
+      CellKey c0 = cell_of(cur);
+      CellKey nb = c0;
+      for (int64_t dx = -1; dx <= 1; ++dx)
+        for (int64_t dy = -1; dy <= 1; ++dy) {
+          nb.v[0] = c0.v[0] + dx;
+          nb.v[1] = c0.v[1] + dy;
+          auto it = grid.find(nb);
+          if (it == grid.end()) continue;
+          for (int64_t j : it->second) {
+            if (visited[j]) continue;
+            const double ax = pts[j * 2] - px, ay = pts[j * 2 + 1] - py;
+            if (ax * ax + ay * ay <= md2) cand.push_back(j);
+          }
+        }
+    } else {
+      for (int64_t k = 0; k < n_members; ++k)
+        if (!visited[members[k]]) cand.push_back(members[k]);
+    }
+
+    for (int64_t j : cand) {
       const double tx = pts[j * 2 + 0] - px;
       const double ty = pts[j * 2 + 1] - py;
       // clockwise angle from base to target in degrees (d2.py:57-71)

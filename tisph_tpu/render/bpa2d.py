@@ -43,8 +43,11 @@ class Boundary2D:
         return fans
 
 
-def _trace_group_numpy(pts: np.ndarray, members: np.ndarray, radius: float) -> np.ndarray:
-    """Pure-numpy ball-pivot walk (reference d2.py:74-137 semantics)."""
+def _trace_group_numpy(
+    pts: np.ndarray, members: np.ndarray, radius: float, max_dist: float = 0.0
+) -> np.ndarray:
+    """Pure-numpy ball-pivot walk (reference d2.py:74-137 semantics;
+    ``max_dist`` > 0 bounds the candidate reach like the native walk)."""
     visited = np.zeros(pts.shape[0], dtype=bool)
     cur = members[np.argmax(pts[members, 1])]
     circle = pts[cur] + np.array([0.0, radius])
@@ -54,6 +57,9 @@ def _trace_group_numpy(pts: np.ndarray, members: np.ndarray, radius: float) -> n
         p = pts[cur]
         base = circle - p
         cand = members[~visited[members]]
+        if max_dist > 0 and cand.size:
+            d2 = ((pts[cand] - p) ** 2).sum(axis=1)
+            cand = cand[d2 <= max_dist * max_dist]
         if cand.size == 0:
             break
         t = pts[cand] - p
@@ -78,29 +84,43 @@ def _trace_group_numpy(pts: np.ndarray, members: np.ndarray, radius: float) -> n
 
 
 def surface_prefilter(
-    pts: np.ndarray, radius: float, rel_threshold: float = 0.8
+    pts: np.ndarray, radius: float, rel_threshold: float = 0.8,
+    use_native: bool = True,
 ) -> np.ndarray:
     """Indices of likely-surface points: neighbor count below
     ``rel_threshold`` x the 90th-percentile count (interior points of a
     dense set have full neighborhoods; surface points roughly half).
     Grid-binned O(n * occupancy); makes million-point BPA feasible (the
-    pivot walk is O(boundary * candidates))."""
+    pivot walk is O(boundary * candidates)).  Counts run in the C++ native
+    library when available."""
     n = pts.shape[0]
-    cell = np.floor(pts / radius).astype(np.int64)
-    from collections import defaultdict
+    counts = None
+    if use_native:
+        try:
+            from tisph_tpu.native import loader
 
-    tmp = defaultdict(list)
-    for i, c in enumerate(map(tuple, cell)):
-        tmp[c].append(i)
-    buckets = {k: np.asarray(v) for k, v in tmp.items()}
-    r2 = radius * radius
-    counts = np.zeros(n, dtype=np.int64)
-    offs = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1), (1, -1), (1, 0), (1, 1)]
-    for key, members in buckets.items():
-        cand = [buckets[k2] for k2 in ((key[0] + o[0], key[1] + o[1]) for o in offs) if k2 in buckets]
-        cand = np.concatenate(cand)
-        d2 = ((pts[members][:, None, :] - pts[cand][None, :, :]) ** 2).sum(-1)
-        counts[members] = (d2 < r2).sum(axis=1) - 1  # minus self
+            lib = loader.load()
+            if lib is not None:
+                counts = loader.neighbor_counts_2d(lib, pts, radius)
+        except Exception:
+            counts = None
+    if counts is None:
+        cell = np.floor(pts / radius).astype(np.int64)
+        from collections import defaultdict
+
+        tmp = defaultdict(list)
+        for i, c in enumerate(map(tuple, cell)):
+            tmp[c].append(i)
+        buckets = {k: np.asarray(v) for k, v in tmp.items()}
+        r2 = radius * radius
+        counts = np.zeros(n, dtype=np.int64)
+        offs = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1),
+                (1, -1), (1, 0), (1, 1)]
+        for key, members in buckets.items():
+            cand = [buckets[k2] for k2 in ((key[0] + o[0], key[1] + o[1]) for o in offs) if k2 in buckets]
+            cand = np.concatenate(cand)
+            d2 = ((pts[members][:, None, :] - pts[cand][None, :, :]) ** 2).sum(-1)
+            counts[members] = (d2 < r2).sum(axis=1) - 1  # minus self
     full = np.percentile(counts, 90)
     return np.flatnonzero(counts < rel_threshold * max(full, 1.0))
 
@@ -110,12 +130,19 @@ def extract_boundary_2d(
     radius: float,
     use_native: bool = True,
     prefilter_above: int = 50_000,
+    bounded_walk_above: int = 5_000,
 ) -> Boundary2D:
     """Cluster + per-group ball-pivot boundary walk.
 
     Above ``prefilter_above`` points, interior points are removed first via
     :func:`surface_prefilter` (the walk only ever visits surface points);
     the returned indices still refer to the ORIGINAL point array.
+
+    Above ``bounded_walk_above`` points the walk restricts candidates to
+    the true ball-pivot reach (2 x radius, grid-hashed).  The reference
+    scans every unvisited point with no distance bound
+    (render/bpa/d2.py:74-93) — O(n^2) and degenerate on dense clouds;
+    below the threshold we keep that reference-exact behavior.
     """
     pts_all = np.asarray(points, dtype=np.float64)
     sel = None
@@ -150,12 +177,13 @@ def extract_boundary_2d(
         if members.size == 1:
             loops.append(members)
             continue
+        max_dist = 2.0 * radius if pts.shape[0] > bounded_walk_above else 0.0
         if lib is not None:
             from tisph_tpu.native import loader
 
-            order = loader.bpa_trace_2d(lib, pts, members, radius)
+            order = loader.bpa_trace_2d(lib, pts, members, radius, max_dist)
         else:
-            order = _trace_group_numpy(pts, members, radius)
+            order = _trace_group_numpy(pts, members, radius, max_dist)
         loops.append(order)
         if len(order) >= 2:
             edge_list.append(np.stack([order[:-1], order[1:]], axis=1))
