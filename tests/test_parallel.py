@@ -110,6 +110,47 @@ def test_sharded_metrics_finite():
     assert np.isfinite(float(m["avg_density_error"]))
 
 
+def test_sharded_emitter_composes():
+    """maybe_emit is a pure scatter on the pytree, so it composes with the
+    sharded step (tail pool slots live on the last shard after the sort)."""
+    from tisph_tpu.geometry.emitter import make_emitter_state, maybe_emit
+
+    scene = tt.scene_from_dict(
+        {
+            "configuration": {
+                "dim": 3, "domainStart": [0, 0, 0], "domainEnd": [1, 1, 1],
+                "particleRadius": 0.04, "density0": 1000,
+                "gravitation": [0, -9.81, 0], "c_s": 50.0,
+            },
+            "fluidBlocks": [
+                {"start": [0.15, 0.15, 0.15], "end": [0.5, 0.4, 0.5],
+                 "velocity": [0, 0, 0], "density": 1000.0, "color": [50, 100, 200]}
+            ],
+            "emitters": [
+                {"start": [0.5, 0.8, 0.5], "end": [0.62, 0.8001, 0.62],
+                 "velocity": [0, -1.0, 0], "interval": 5, "maxParticles": 64}
+            ],
+            "rigidBodies": [],
+        }
+    )
+    state = tt.build_state(scene, extra_capacity=256)
+    mesh = make_mesh(4)
+    solver = ShardedWCSPH(scene, mesh)
+    state = solver.bind(state)
+    es = make_emitter_state(scene.emitters[0], scene)
+    emit = jax.jit(lambda s, e: maybe_emit(s, e, scene.particle_volume0))
+    n0 = int(jax.device_get(state.num_active))
+    for _ in range(12):
+        state, es = emit(state, es)
+        state = solver.step(state)
+    out = jax.device_get(state)
+    assert int(es.emitted) == 3 * es.batch_size  # steps 0, 5, 10
+    assert int(out.num_active) == n0 + int(es.emitted)
+    act = np.asarray(out.material) != -1
+    assert act.sum() == int(out.num_active)
+    assert np.isfinite(np.asarray(out.x)[act]).all()
+
+
 def test_graft_entry():
     import __graft_entry__ as g
 

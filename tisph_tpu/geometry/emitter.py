@@ -17,7 +17,6 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from tisph_tpu.config import Emitter, SceneConfig
 from tisph_tpu.geometry.sampler import cube_lattice

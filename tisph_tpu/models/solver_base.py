@@ -14,7 +14,6 @@ SURVEY.md §3.1).
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax

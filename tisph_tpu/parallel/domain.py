@@ -153,7 +153,7 @@ class ShardedWCSPH(SolverBase):
 
         A particle's stencil candidates can sit up to ~one x-cell-row of
         particles away in sorted order, so the halo depth ``h`` (measured at
-        bind via grid.suggest_halo_rows) may exceed one neighbor's chunk.
+        bind via grid.measure_caps_device) may exceed one neighbor's chunk.
         The exchange therefore runs ``hops`` ppermute rounds, each shifting
         full chunks one position around the (non-wrapping) ring, and slices
         the needed h rows from the concatenation.  The 'ids' channel of
