@@ -93,9 +93,10 @@ def main() -> int:
                 print("ERROR: NaN detected, aborting", file=sys.stderr)
                 return 1
             if int(m["max_run_length"]) > int(m["run_cap"]):
-                print("ERROR: neighbor run overflow — increase run_cap",
-                      file=sys.stderr)
-                return 1
+                solver.regrow(int(int(m["max_run_length"]) * 1.5))
+                print(f"note: window occupancy {int(m['max_run_length'])} "
+                      f"exceeded cap; re-capacitated to "
+                      f"{solver.sweep_cfg.window_cap} (recompile)")
     jax.block_until_ready(state.x)
     wall = time.time() - t0
     total_steps = args.steps * args.substeps

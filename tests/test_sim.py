@@ -115,6 +115,28 @@ def test_boundary_particles_never_move():
     assert (vol_b != scene.particle_volume0).any()
 
 
+def test_run_auto_recapacity():
+    """solver.run grows the window cap when fluid compaction overflows it
+    (the reference corrupts memory on cell overflow instead,
+    partice_systemv3.py:214-217)."""
+    from tisph_tpu.ops.neighbors import SweepConfig
+
+    scene = tt.load_scene("scenes/demo_2d.json")
+    state = tt.build_state(scene)
+    # deliberately undersized window
+    solver = tt.WCSPH(
+        scene, sweep_cfg=SweepConfig(impl="blocked", block_size=128, window_cap=128)
+    )
+    state = solver.bind(state)
+    m0 = jax.device_get(solver.metrics(state))
+    assert int(m0["max_run_length"]) > 128  # initial state already overflows
+    state = solver.run(state, 30, check_every=10)
+    assert solver.sweep_cfg.window_cap > 128
+    m = jax.device_get(solver.metrics(state))
+    assert int(m["max_run_length"]) <= int(m["run_cap"])
+    assert int(m["nan_count"]) == 0
+
+
 def test_legacy_solver_runs():
     scene, solver, state = _run("scenes/demo_2d.json", steps=20, solver_cls=tt.WCSPHLegacy)
     n = int(state.num_active)

@@ -59,6 +59,7 @@ class SolverBase:
         self.boundary_mode = boundary_mode
         self._step_jit: Callable[[SimState], SimState] | None = None
         self._rollout_jit = None
+        self._metrics_jit = None
 
     def _make_spec(self, run_cap: int) -> gridops.GridSpec:
         return gridops.make_grid_spec(
@@ -166,11 +167,60 @@ class SolverBase:
             self._rollout_jit = jax.jit(_roll, static_argnums=1)
         return self._rollout_jit(state, num_steps)
 
+    def run(
+        self,
+        state: SimState,
+        num_steps: int,
+        check_every: int = 500,
+        grow: float = 1.5,
+        verbose: bool = False,
+    ) -> SimState:
+        """Rollout with overflow-safe adaptive recapacity.
+
+        The candidate-window capacity is measured from the INITIAL
+        configuration; as fluid compacts (dam-break pile-up) per-block
+        windows can exceed it, silently dropping the farthest candidates
+        (the reference's analog corrupts memory instead,
+        partice_systemv3.py:214-217).  This driver checks the occupancy
+        metric every ``check_every`` steps and re-binds with a grown
+        window (one recompile) when the cap is exceeded.
+        """
+        done = 0
+        while done < num_steps:
+            n = min(check_every, num_steps - done)
+            state = self.rollout(state, n)
+            done += n
+            m = self.metrics(state)
+            occ = int(jax.device_get(m["max_run_length"]))
+            cap = int(jax.device_get(m["run_cap"]))
+            if occ > cap:
+                self.regrow(int(occ * grow))
+                if verbose:
+                    print(
+                        f"[tisph] window occupancy {occ} > cap {cap}; "
+                        f"re-capacitated to {self.sweep_cfg.window_cap}"
+                    )
+        return state
+
+    def regrow(self, new_window: int) -> None:
+        """Raise the sweep window capacity and drop compiled artifacts."""
+        import dataclasses as _dc
+
+        cfg = self.sweep_cfg
+        t = cfg.tile if cfg.impl == "pallas" else 128
+        wcap = int(-(-new_window // t) * t)
+        self.sweep_cfg = _dc.replace(cfg, window_cap=wcap)
+        self._step_jit = None
+        self._rollout_jit = None
+        self._metrics_jit = None
+
     def metrics(self, state: SimState) -> dict[str, jax.Array]:
         """Structured step metrics (SURVEY.md §5.5: the reference has only
         prints; we expose max velocity, density error, CFL, run overflow)."""
         if self.spec is None:
             state = self.bind(state)
+        if getattr(self, "_metrics_jit", None) is not None:
+            return self._metrics_jit(state)
         spec, params = self.spec, self.params
 
         @jax.jit
@@ -209,4 +259,5 @@ class SolverBase:
                 "nan_count": jnp.sum(~jnp.isfinite(st.x)) + jnp.sum(~jnp.isfinite(st.v)),
             }
 
+        self._metrics_jit = _metrics
         return _metrics(state)
