@@ -24,12 +24,7 @@ import tisph_tpu as tt
 NORTH_STAR = 1e9  # particle-steps/sec (BASELINE.json)
 
 
-def main() -> int:
-    scene_path = os.environ.get(
-        "BENCH_SCENE", os.path.join(os.path.dirname(__file__), "scenes", "demo_3d.json")
-    )
-    steps = int(os.environ.get("BENCH_STEPS", "50"))
-
+def _main_once(scene_path: str, steps: int) -> int:
     scene = tt.load_scene(scene_path)
     state = tt.build_state(scene)
     solver = tt.WCSPH(scene)
@@ -65,6 +60,22 @@ def main() -> int:
         "vs_baseline": round(pps / NORTH_STAR, 6),
     }))
     return 0
+
+
+def main() -> int:
+    scene_path = os.environ.get(
+        "BENCH_SCENE", os.path.join(os.path.dirname(__file__), "scenes", "demo_3d.json")
+    )
+    steps = int(os.environ.get("BENCH_STEPS", "50"))
+    try:
+        return _main_once(scene_path, steps)
+    except Exception as e:  # tunneled-TPU runtimes occasionally wedge; retry once
+        if "UNAVAILABLE" not in str(e):
+            raise
+        print(f"transient device error ({type(e).__name__}); retrying in 60s",
+              file=sys.stderr)
+        time.sleep(60)
+        return _main_once(scene_path, steps)
 
 
 if __name__ == "__main__":
