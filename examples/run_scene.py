@@ -48,9 +48,17 @@ def main() -> int:
     state = tt.build_state(scene)
     print(f"particles: {int(state.num_active)} (capacity {state.capacity})")
 
-    solver_cls = tt.WCSPH if args.solver == "wcsph" else tt.WCSPHLegacy
-    solver = solver_cls(scene, compat=args.compat)
-    state = solver.bind(state)
+    rigid = None
+    if args.solver == "wcsph" and any(rb.is_dynamic for rb in scene.rigid_bodies):
+        from tisph_tpu.models.wcsph_rigid import WCSPHRigid
+        solver = WCSPHRigid(scene, compat=args.compat)
+        state = solver.bind(state)
+        rigid = solver.init_rigid(state)
+        print(f"dynamic rigid bodies: {rigid.num_bodies}")
+    else:
+        solver_cls = tt.WCSPH if args.solver == "wcsph" else tt.WCSPHLegacy
+        solver = solver_cls(scene, compat=args.compat)
+        state = solver.bind(state)
     if args.resume:
         from tisph_tpu import checkpoint
         state = checkpoint.load_npz(args.resume)
@@ -72,7 +80,9 @@ def main() -> int:
 
     t0 = time.time()
     for frame in range(args.steps):
-        if emitters:
+        if rigid is not None:
+            state, rigid = solver.rollout_coupled(state, rigid, args.substeps)
+        elif emitters:
             from tisph_tpu.geometry.emitter import maybe_emit
             for _ in range(args.substeps):
                 for i, es in enumerate(emitters):

@@ -1,0 +1,104 @@
+"""Dynamic rigid bodies (two-way coupling) — a capability beyond the
+reference.  The fluid-coupled gates are physically validated on TPU (see
+docs/design.md) and run here under ``-m slow`` (CPU coupled-step compiles
+are minutes each); the default suite covers the integrator + reaction
+machinery with the fast free-fall case.
+
+Run the slow set explicitly:  python -m pytest tests -m slow
+"""
+
+import json
+
+import numpy as np
+import jax
+import pytest
+
+import tisph_tpu as tt
+from tisph_tpu.models.state import MATERIAL_BOUNDARY
+from tisph_tpu.models.wcsph_rigid import WCSPHRigid
+
+
+def _build(tmp_path, body_density, body_lo, body_hi, fluid=None, radius=0.025):
+    from tisph_tpu.geometry.mesh import box_mesh, save_obj
+
+    mesh_path = tmp_path / "box.obj"
+    save_obj(box_mesh(body_lo, body_hi), mesh_path)
+    raw = {
+        "configuration": {
+            "dim": 3,
+            "domainStart": [0.0, 0.0, 0.0],
+            "domainEnd": [1.0, 1.0, 1.0],
+            "particleRadius": radius,
+            "density0": 1000,
+            "gravitation": [0.0, -9.81, 0.0],
+            "c_s": 40.0,
+        },
+        "rigidBodies": [
+            {"geometryFile": str(mesh_path), "scale": [1, 1, 1],
+             "translation": [0, 0, 0], "rotationAngle": 0,
+             "rotationAxis": [0, 1, 0], "velocity": [0, 0, 0],
+             "density": body_density, "color": [150, 150, 150],
+             "isDynamic": True}
+        ],
+        "fluidBlocks": fluid or [],
+    }
+    p = tmp_path / "scene.json"
+    p.write_text(json.dumps(raw))
+    scene = tt.load_scene(p)
+    state = tt.build_state(scene)
+    solver = WCSPHRigid(scene)
+    state = solver.bind(state)
+    rigid = solver.init_rigid(state)
+    return scene, solver, state, rigid
+
+
+def test_free_fall_without_fluid(tmp_path):
+    """No fluid: the body must free-fall at g (no spin, no drift) and the
+    coupled step machinery (reaction sweep included) must compile/run."""
+    scene, solver, state, rigid = _build(
+        tmp_path, 1000.0, (0.45, 0.7, 0.45), (0.55, 0.8, 0.55)
+    )
+    steps = 50
+    y0 = float(jax.device_get(rigid.com)[0, 1])
+    state, rigid = solver.rollout_coupled(state, rigid, steps)
+    r = jax.device_get(rigid)
+    t = steps * solver.params.dt
+    np.testing.assert_allclose(float(r.v_com[0, 1]), -9.81 * t, rtol=1e-3)
+    assert abs(float(r.v_com[0, 0])) < 1e-4 and abs(float(r.v_com[0, 2])) < 1e-4
+    assert float(r.com[0, 1]) < y0
+    assert np.abs(np.asarray(r.omega)).max() < 1e-3
+    # rigidity: particle distances to COM preserved
+    host = jax.device_get(state)
+    sel = (np.asarray(host.object_id) == 0) & (np.asarray(host.material) == MATERIAL_BOUNDARY)
+    com = np.asarray(r.com)[0]
+    d = np.linalg.norm(np.asarray(host.x)[sel] - com, axis=1)
+    assert d.max() < 0.12  # body diagonal bound; no explosion
+
+
+_POOL = [
+    {"start": [0.09, 0.09, 0.09], "end": [0.91, 0.45, 0.91],
+     "velocity": [0, 0, 0], "density": 1000.0, "color": [50, 100, 200],
+     "spacing": "diameter"}
+]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("density,expect_above", [(200.0, True), (5000.0, False)])
+def test_buoyancy(tmp_path, density, expect_above):
+    """A light box dropped into a calm diameter-spaced pool floats near the
+    surface; a heavy one sinks to the floor.  (TPU-validated reference
+    values: light com_y≈0.34, heavy≈0.18 after 0.4 s.)"""
+    scene, solver, state, rigid = _build(
+        tmp_path, density, (0.42, 0.5, 0.42), (0.58, 0.62, 0.58),
+        fluid=_POOL, radius=0.02,
+    )
+    state, rigid = solver.rollout_coupled(state, rigid, 2000)
+    r = jax.device_get(rigid)
+    com_y = float(r.com[0, 1])
+    if expect_above:
+        assert com_y > 0.27, f"light body should float, com_y={com_y}"
+    else:
+        assert com_y < 0.27, f"heavy body should sink, com_y={com_y}"
+    out = jax.device_get(state)
+    act = np.asarray(out.material) != -1
+    assert np.isfinite(np.asarray(out.x)[act]).all()

@@ -47,6 +47,12 @@ class FluidBlock:
     translation: tuple[float, ...] | None = None
     scale: tuple[float, ...] | None = None
     object_id: int = 0
+    # lattice spacing; None = particle radius (the reference's convention,
+    # ~8x oversampled -> rest density ~ 4-8 rho0 with a violent settling
+    # transient).  Set to the particle DIAMETER for standard SPH sampling
+    # (calm pools at rest density).  JSON key: "spacing" (float) or
+    # "spacing": "diameter".
+    spacing: float | None = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -247,9 +253,13 @@ def scene_from_dict(raw: dict[str, Any], base_dir: str = ".") -> SceneConfig:
     dom_start = _tup(dom_start[:dim], dim)
     dom_end = _tup(cfg.get("domainEnd", [1.0] * dim)[:dim], dim)
 
+    pr = float(cfg.get("particleRadius", 0.01))
     fluid_blocks = []
     for fb in raw.get("fluidBlocks", []) or []:
         d = min(dim, len(fb["start"]))
+        sp = fb.get("spacing")
+        if sp == "diameter":
+            sp = 2.0 * pr
         fluid_blocks.append(
             FluidBlock(
                 start=_tup(fb["start"][:d], d),
@@ -260,6 +270,7 @@ def scene_from_dict(raw: dict[str, Any], base_dir: str = ".") -> SceneConfig:
                 translation=_tup(fb["translation"][:d], d) if fb.get("translation") else None,
                 scale=_tup(fb["scale"][:d], d) if fb.get("scale") else None,
                 object_id=int(fb.get("objectId", 0)),
+                spacing=float(sp) if sp is not None else None,
             )
         )
 

@@ -81,7 +81,7 @@ def build_state(
 
     for block in scene.fluid_blocks:
         pts = cube_lattice(
-            block.start, block.end, scene.particle_radius,
+            block.start, block.end, block.spacing or scene.particle_radius,
             translation=block.translation, scale=block.scale,
         )
         n = pts.shape[0]

@@ -1,0 +1,84 @@
+"""WCSPHRigid — WCSPH with dynamic rigid bodies (two-way coupling).
+
+Extends the flagship step with a reaction-force sweep and a rigid-body
+integrator (models/rigid.py).  The step state is the pair
+``(SimState, RigidState)``; boundary volumes are recomputed every step
+(the bodies move), matching the reference's per-step recompute
+(sph_basev2.py:212) which only this solver actually needs.
+
+Sweeps run on the jnp blocked path (the pallas kernels cover the two
+fluid sweeps of the static-boundary solver; coupling them is staged in
+ROADMAP.md).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from tisph_tpu.config import SceneConfig
+from tisph_tpu.models.rigid import RigidState, integrate_rigid, make_rigid_state
+from tisph_tpu.models.solver_base import SolverBase
+from tisph_tpu.models.state import SimState
+from tisph_tpu.models.wcsph import WCSPH
+from tisph_tpu.ops import forces as F
+from tisph_tpu.ops import grid as gridops
+from tisph_tpu.ops.neighbors import SweepConfig
+
+
+class WCSPHRigid(WCSPH):
+    def __init__(self, scene: SceneConfig, **kw):
+        kw.setdefault("boundary_mode", "per_step")
+        super().__init__(scene, **kw)
+        if self.boundary_mode != "per_step":
+            raise ValueError("dynamic rigid bodies need boundary_mode='per_step'")
+
+    # -- carry = (SimState, RigidState) -----------------------------------
+    def init_rigid(self, state: SimState) -> RigidState:
+        return make_rigid_state(state, self.scene)
+
+    def _coupled_step_fn(self, carry):
+        state, rigid = carry
+        spec, params = self.spec, self.params
+        scfg = self.sweep_cfg
+        if scfg.impl == "pallas":
+            scfg = dataclasses.replace(scfg, impl="blocked")
+
+        state, sorted_ids, _ = gridops.sort_state_by_cell(state, spec)
+        nd = gridops.build_neighbor_data(state, sorted_ids, spec, scfg)
+
+        volume = F.compute_boundary_volumes(state, nd, spec, params, scfg)
+        state = dataclasses.replace(state, volume=volume)
+
+        density = F.compute_densities(state, nd, spec, params, scfg)
+        rho, pressure = F.compute_pressures(density, params)
+        state = dataclasses.replace(state, density=rho, pressure=pressure)
+
+        d_velocity = F.compute_forces(state, nd, spec, params, scfg)
+        reactions = F.compute_rigid_reactions(state, nd, spec, params, scfg)
+
+        state = F.advect(state, d_velocity, params)
+        state, rigid = integrate_rigid(state, rigid, reactions, params)
+        state = F.enforce_domain_boundary(state, params)
+        return state, rigid
+
+    # -- public API over the pair ------------------------------------------
+    def step_coupled(self, state: SimState, rigid: RigidState):
+        if self.spec is None:
+            state = self.bind(state)
+        if getattr(self, "_coupled_jit", None) is None:
+            self._coupled_jit = jax.jit(self._coupled_step_fn)
+        return self._coupled_jit((state, rigid))
+
+    def rollout_coupled(self, state: SimState, rigid: RigidState, num_steps: int):
+        if self.spec is None:
+            state = self.bind(state)
+        if getattr(self, "_coupled_roll_jit", None) is None:
+            def _roll(carry, n):
+                return jax.lax.fori_loop(
+                    0, n, lambda _, c: self._coupled_step_fn(c), carry
+                )
+            self._coupled_roll_jit = jax.jit(_roll, static_argnums=1)
+        return self._coupled_roll_jit((state, rigid), num_steps)

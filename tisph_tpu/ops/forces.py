@@ -162,6 +162,60 @@ def force_kernel(params: SolverParams, spec: GridSpec):
     return i_fields_of, j_fields_of, pair, init_of
 
 
+def rigid_reaction_kernel(params: SolverParams, spec: GridSpec):
+    """Reaction force of the fluid on boundary particles (Akinci two-way
+    coupling).  For fluid f receiving boundary-term acceleration
+    a_f = rho0 V_b (nu_b dot_neg - p_f/rho_f^2) gradW_fb, the reaction on
+    boundary particle b is  F_b = sum_f m_f rho0 V_b
+    (nu_b(rho_f) dot_neg - p_f/rho_f^2) gradW_bf  (gradW antisymmetric,
+    dot_neg symmetric).  Units: force (the fluid side is an acceleration;
+    multiplied by m_f here)."""
+    h = params.support_length
+
+    def i_fields_of(f):
+        return {"bvol": params.density0 * f["volume"], "v": f["v"]}
+
+    def j_fields_of(f):
+        fl, _ = _flags(f["material"], f["x"].dtype)
+        return {
+            "fluid": fl,
+            "mass": f["mass"],
+            "density": f["density"],
+            "p_rho2": f["pressure"] / jnp.maximum(f["density"] ** 2, 1e-12),
+            "v": f["v"],
+        }
+
+    def pair(i, j, r_vec, r2, w, grad_w):
+        v_ij = i["v"] - j["v"]
+        dot = jnp.sum(v_ij * r_vec, axis=-1)
+        dot_neg = jnp.minimum(dot, 0.0) / (r2 + 0.01 * h * h)
+        nu_b = params.boundary_sigma * h * params.c_s / (2.0 * j["density"])
+        coef = j["fluid"] * j["mass"] * i["bvol"] * (nu_b * dot_neg - j["p_rho2"])
+        return {"f": coef[..., None] * grad_w}
+
+    def init_of(f):
+        return {"f": jnp.zeros_like(f["x"])}
+
+    return i_fields_of, j_fields_of, pair, init_of
+
+
+def compute_rigid_reactions(
+    state: SimState,
+    nd,
+    spec: GridSpec,
+    params: SolverParams,
+    sweep_cfg: SweepConfig = SweepConfig(),
+) -> jax.Array:
+    """Per-particle fluid->boundary reaction forces (zero on non-boundary)."""
+    i_of, j_of, pair, init_of = rigid_reaction_kernel(params, spec)
+    f = state_fields(state)
+    acc = sweep(
+        nd, state.x, i_of(f), j_of(f), pair, init_of(f),
+        spec, params.support_length, sweep_cfg,
+    )
+    return jnp.where(state.boundary_mask[:, None], acc["f"], 0.0)
+
+
 def state_fields(state: SimState) -> dict:
     return {
         "x": state.x,
