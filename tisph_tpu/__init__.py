@@ -22,6 +22,7 @@ from tisph_tpu.config import SceneConfig, SolverParams, load_scene, scene_from_d
 from tisph_tpu.models.state import SimState, MATERIAL_BOUNDARY, MATERIAL_FLUID, MATERIAL_INVALID
 from tisph_tpu.models.wcsph import WCSPH
 from tisph_tpu.models.wcsph_legacy import WCSPHLegacy
+from tisph_tpu.models.wcsph_rigid import WCSPHRigid
 from tisph_tpu.geometry.builder import build_state
 
 __all__ = [
@@ -36,5 +37,6 @@ __all__ = [
     "MATERIAL_INVALID",
     "WCSPH",
     "WCSPHLegacy",
+    "WCSPHRigid",
     "build_state",
 ]
