@@ -139,6 +139,18 @@ def test_blocked_sweep_edge_cells_complete():
     np.testing.assert_array_equal(count[active], brute.sum(axis=1)[active])
 
 
+def test_csr_bounds_scan_matches_searchsorted():
+    """The histogram+prefix-sum CSR (the reference's PrefixSumExecutor
+    shape) must equal the searchsorted CSR on sorted ids."""
+    dim = 3
+    spec = gridops.make_grid_spec(dim, [0.0] * 3, [1.0] * 3, 0.2, run_cap=64)
+    state = _random_state(300, dim, seed=5, lo=0.0, hi=1.0)
+    _, sorted_ids, _ = gridops.sort_state_by_cell(state, spec)
+    a = np.asarray(gridops.csr_bounds(sorted_ids, spec))
+    b = np.asarray(gridops.csr_bounds_scan(sorted_ids, spec))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_csr_bounds_cover_cell0():
     """Regression guard for the reference's off-by-one that makes cell 0
     invisible (partice_systemv4.py:343)."""

@@ -138,6 +138,27 @@ def csr_bounds(sorted_ids: jax.Array, spec: GridSpec) -> jax.Array:
     return jnp.searchsorted(sorted_ids, queries, side="left").astype(jnp.int32)
 
 
+def csr_bounds_scan(ids: jax.Array, spec: GridSpec) -> jax.Array:
+    """CSR bounds via histogram + parallel prefix sum — the literal TPU
+    translation of the reference's atomic histogram +
+    ``ti.algorithms.PrefixSumExecutor`` (partice_systemv4.py:206-215, :255):
+    the atomic scatter becomes ``segment_sum`` and the native scan becomes
+    ``jnp.cumsum`` (log-depth on device).
+
+    Equivalent to :func:`csr_bounds` (which binary-searches the sorted ids
+    instead — fewer passes when ids are already sorted; this variant does
+    NOT require sorted input).  Kept as the reference-shaped alternative
+    and used by tests as a cross-check.
+    """
+    counts = jax.ops.segment_sum(
+        jnp.ones_like(ids, dtype=jnp.int32),
+        ids,
+        num_segments=spec.num_cells + 1,  # +1 = the inactive sentinel bin
+    )
+    ends = jnp.cumsum(counts[: spec.num_cells])
+    return jnp.concatenate([jnp.zeros((1,), ends.dtype), ends]).astype(jnp.int32)
+
+
 def _row_offsets(spec: GridSpec) -> np.ndarray:
     """Static (num_rows, dim-1) array of stencil row offsets in {-1,0,1}."""
     if spec.dim == 1:
