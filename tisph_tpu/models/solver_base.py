@@ -171,9 +171,10 @@ class SolverBase:
         self,
         state: SimState,
         num_steps: int,
-        check_every: int = 500,
+        check_every: int = 400,
         grow: float = 1.5,
         verbose: bool = False,
+        max_dispatch: int = 400,
     ) -> SimState:
         """Rollout with overflow-safe adaptive recapacity.
 
@@ -188,7 +189,13 @@ class SolverBase:
         done = 0
         while done < num_steps:
             n = min(check_every, num_steps - done)
-            state = self.rollout(state, n)
+            # bound single-dispatch duration: very long fori_loop executions
+            # (> ~1 min) can trip device watchdogs on tunneled runtimes
+            left = n
+            while left > 0:
+                k = min(max_dispatch, left)
+                state = self.rollout(state, k)
+                left -= k
             done += n
             m = self.metrics(state)
             occ = int(jax.device_get(m["max_run_length"]))
