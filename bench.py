@@ -70,7 +70,12 @@ def main() -> int:
     try:
         return _main_once(scene_path, steps)
     except Exception as e:  # tunneled-TPU runtimes occasionally wedge; retry once
-        if "UNAVAILABLE" not in str(e):
+        # UNAVAILABLE: tunnel wedge after a killed process (self-recovers);
+        # FAILED_PRECONDITION: e.g. libtpu version skew mid-upgrade;
+        # DEADLINE_EXCEEDED / INTERNAL: transient runtime hiccups.
+        transient = ("UNAVAILABLE", "FAILED_PRECONDITION", "DEADLINE_EXCEEDED",
+                     "INTERNAL")
+        if not any(s in str(e) for s in transient):
             raise
         print(f"transient device error ({type(e).__name__}); retrying in 60s",
               file=sys.stderr)

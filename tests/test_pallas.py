@@ -52,7 +52,7 @@ def _sorted_setup(scene, cap=2048):
     spec, params, scfg = solver.spec, solver.params, solver.sweep_cfg
     state_s, ids, _ = gridops.sort_state_by_cell(state, spec)
     coords = gridops.cell_coords(state_s.x, spec)
-    meta = ps.block_meta(ids, coords, spec, scfg.block_size, scfg.window_cap)
+    meta, _ = ps.block_meta(ids, coords, spec, scfg.block_size, scfg.window_cap)
     pack = ps.pack_state(
         state_s.x, state_s.v, state_s.density, state_s.pressure,
         state_s.mass, state_s.volume, state_s.material, ids, params,

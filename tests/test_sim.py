@@ -161,3 +161,48 @@ def test_legacy_solver_with_pallas_config():
     out = jax.device_get(state)
     n = int(out.num_active)
     assert np.isfinite(np.asarray(out.x)[:n]).all()
+
+
+def test_overflow_caught_within_one_dispatch():
+    """Per-dispatch overflow flag (state.occ_window): an undersized window
+    must be detected and re-capacitated on the FIRST dispatch even when the
+    metrics check interval is far larger than the run (VERDICT r1 #6 — the
+    old run() only sampled occupancy every check_every steps)."""
+    from tisph_tpu.ops.neighbors import SweepConfig
+
+    scene = tt.load_scene("scenes/demo_2d.json")
+    state = tt.build_state(scene)
+    solver = tt.WCSPH(
+        scene, sweep_cfg=SweepConfig(impl="blocked", block_size=128, window_cap=128)
+    )
+    state = solver.bind(state)
+    # a run far SHORTER than any check interval still triggers the regrow
+    state = solver.run(state, 2, check_every=10_000)
+    assert solver.sweep_cfg.window_cap > 128
+    # after the check, the running max is reset
+    assert int(jax.device_get(state.occ_window)) == 0
+
+
+def test_occ_window_tracks_required_window():
+    """state.occ_window after a step equals the longest block window the
+    step's neighbor structure required (computed independently here)."""
+    import jax.numpy as jnp
+    from tisph_tpu.ops import grid as gridops
+    from tisph_tpu.ops.neighbors import SweepConfig
+
+    scene = tt.load_scene("scenes/demo_2d.json")
+    state = tt.build_state(scene)
+    solver = tt.WCSPH(
+        scene, sweep_cfg=SweepConfig(impl="blocked", block_size=128, window_cap=2048)
+    )
+    state = solver.bind(state)
+    state1 = solver.step(state)
+    occ = int(jax.device_get(state1.occ_window))
+
+    # independent recomputation on the PRE-step sorted configuration
+    st_s, ids, _ = gridops.sort_state_by_cell(state, solver.spec)
+    coords = gridops.cell_coords(st_s.x, solver.spec)
+    s, e = gridops.block_window_bounds(ids, coords, solver.spec, 128)
+    need = int(jax.device_get(jnp.max(jnp.maximum(e - s, 0))))
+    assert occ == need
+    assert 0 < occ <= 2048

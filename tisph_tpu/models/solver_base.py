@@ -148,6 +148,27 @@ class SolverBase:
     def _step_fn(self, state: SimState) -> SimState:
         raise NotImplementedError
 
+    @staticmethod
+    def _track_occ(state: SimState, need) -> SimState:
+        """Fold this step's required window length into the running
+        ``occ_window`` diagnostic (see SimState.occ_window)."""
+        import dataclasses as _dc
+
+        if need is None:
+            return state
+        return _dc.replace(
+            state,
+            occ_window=jnp.maximum(
+                jnp.asarray(state.occ_window, jnp.int32), need.astype(jnp.int32)
+            ),
+        )
+
+    def _occ_cap(self) -> int:
+        """The static capacity ``occ_window`` is compared against."""
+        if self.sweep_cfg is not None and self.sweep_cfg.impl == "gather":
+            return int(self.spec.run_cap)
+        return int(self.sweep_cfg.window_cap) if self.sweep_cfg else 0
+
     # -- public API ------------------------------------------------------
     def step(self, state: SimState) -> SimState:
         """One solver step (resort + physics + boundary), jit-compiled."""
@@ -175,6 +196,7 @@ class SolverBase:
         grow: float = 1.5,
         verbose: bool = False,
         max_dispatch: int = 400,
+        warn_frac: float = 0.9,
     ) -> SimState:
         """Rollout with overflow-safe adaptive recapacity.
 
@@ -182,44 +204,64 @@ class SolverBase:
         configuration; as fluid compacts (dam-break pile-up) per-block
         windows can exceed it, silently dropping the farthest candidates
         (the reference's analog corrupts memory instead,
-        partice_systemv3.py:214-217).  This driver checks the occupancy
-        metric every ``check_every`` steps and re-binds with a grown
-        window (one recompile) when the cap is exceeded.
+        partice_systemv3.py:214-217).  Every step folds its required window
+        length into ``state.occ_window`` (one device scalar), so overflow is
+        detected after EVERY dispatch — not merely every ``check_every``
+        steps — and the re-capacity triggers EARLY, at ``warn_frac`` of the
+        cap, usually before any candidate is actually dropped.
+
+        ``check_every`` now only bounds how many steps run between host
+        checks (and hence the worst-case number of steps a late overflow
+        could degrade); each check costs one scalar fetch.
         """
+        import dataclasses as _dc
+
         done = 0
+        cap_chunk = max(1, min(check_every, max_dispatch))
         while done < num_steps:
-            n = min(check_every, num_steps - done)
+            k = min(cap_chunk, num_steps - done)
             # bound single-dispatch duration: very long fori_loop executions
             # (> ~1 min) can trip device watchdogs on tunneled runtimes
-            left = n
-            while left > 0:
-                k = min(max_dispatch, left)
-                state = self.rollout(state, k)
-                left -= k
-            done += n
-            m = self.metrics(state)
-            occ = int(jax.device_get(m["max_run_length"]))
-            cap = int(jax.device_get(m["run_cap"]))
-            if occ > cap:
-                self.regrow(int(occ * grow))
+            state = self.rollout(state, k)
+            done += k
+            occ = int(jax.device_get(state.occ_window))
+            cap = self._occ_cap()
+            if occ > warn_frac * cap:
+                dropped = occ > cap
+                self.regrow(int(max(occ, cap) * grow))
                 if verbose:
                     print(
-                        f"[tisph] window occupancy {occ} > cap {cap}; "
-                        f"re-capacitated to {self.sweep_cfg.window_cap}"
+                        f"[tisph] window occupancy {occ} "
+                        f"{'exceeded' if dropped else 'approaching'} cap {cap}; "
+                        f"re-capacitated to "
+                        f"{self._occ_cap()}"
+                        + (
+                            f" (up to {k} steps may have dropped far candidates)"
+                            if dropped
+                            else ""
+                        )
                     )
+            state = _dc.replace(state, occ_window=jnp.zeros((), jnp.int32))
         return state
 
     def regrow(self, new_window: int) -> None:
-        """Raise the sweep window capacity and drop compiled artifacts."""
+        """Raise the sweep/run capacity and drop ALL compiled artifacts
+        (including subclass-cached jits like WCSPHRigid's coupled step —
+        anything stored in an attribute ending in ``_jit``)."""
         import dataclasses as _dc
 
         cfg = self.sweep_cfg
-        t = cfg.tile if cfg.impl == "pallas" else 128
-        wcap = int(-(-new_window // t) * t)
-        self.sweep_cfg = _dc.replace(cfg, window_cap=wcap)
-        self._step_jit = None
-        self._rollout_jit = None
-        self._metrics_jit = None
+        if cfg is not None and cfg.impl == "gather":
+            # the gather sweep reads spec.run_cap, not window_cap
+            cap = max(8, int(-(-new_window // 8) * 8))
+            self.spec = _dc.replace(self.spec, run_cap=cap)
+        else:
+            t = cfg.tile if cfg.impl == "pallas" else 128
+            margin = 128 if cfg.impl == "pallas" else 0  # lane quantisation
+            wcap = int(-(-(new_window + margin) // t) * t)
+            self.sweep_cfg = _dc.replace(cfg, window_cap=wcap)
+        for name in [k for k in vars(self) if k.endswith("_jit")]:
+            setattr(self, name, None)
 
     def metrics(self, state: SimState) -> dict[str, jax.Array]:
         """Structured step metrics (SURVEY.md §5.5: the reference has only
@@ -253,7 +295,11 @@ class SolverBase:
                 occupancy_cap = jnp.asarray(spec.run_cap)
             else:
                 block = cfg.block_size if cfg is not None else 128
-                occupancy = gridops.max_window_length(runs, block)
+                # pallas quantises window starts down to the 128-lane grid;
+                # measure the requirement the same way so the cap comparison
+                # has no undetectable band (ADVICE r1)
+                lane = 128 if (cfg is not None and cfg.impl == "pallas") else 1
+                occupancy = gridops.max_window_length(runs, block, lane_quant=lane)
                 occupancy_cap = jnp.asarray(cfg.window_cap if cfg is not None else 0)
             return {
                 "max_velocity": vmax,

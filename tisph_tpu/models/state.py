@@ -46,6 +46,15 @@ class SimState:
     color: jax.Array      # (N, 3) f32
     object_id: jax.Array  # (N,) i32
     num_active: jax.Array  # () i32
+    # () i32 — running max of the candidate-window length the most recent
+    # steps actually needed (quantisation-aware for the pallas sweep).
+    # Carried through rollouts so SolverBase.run can detect window overflow
+    # after EVERY dispatch instead of only at metrics checkpoints (between
+    # which overflowing lanes would be silently dropped).  Reset by run()
+    # after each check.  numpy default avoids device work at construction.
+    occ_window: jax.Array = dataclasses.field(
+        default_factory=lambda: np.zeros((), np.int32)
+    )
 
     @property
     def capacity(self) -> int:
@@ -155,4 +164,5 @@ def state_to_host(state: SimState) -> dict[str, np.ndarray]:
     """
     host: dict[str, Any] = jax.device_get(dataclasses.asdict(state))
     n = int(host.pop("num_active"))
+    host.pop("occ_window", None)  # transient diagnostic, not state
     return {k: np.asarray(a[:n]) for k, a in host.items()} | {"num_active": np.asarray(n)}

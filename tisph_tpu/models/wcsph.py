@@ -32,6 +32,7 @@ class WCSPH(SolverBase):
         # 1. resort by cell + neighbor structure
         state, sorted_ids, _ = gridops.sort_state_by_cell(state, spec)
         nd = gridops.build_neighbor_data(state, sorted_ids, spec, scfg)
+        state = self._track_occ(state, nd.window_need)
 
         # 2. boundary volumes (static by default — boundary particles never
         # move; 'per_step' reproduces the reference's per-step recompute,
@@ -63,7 +64,10 @@ class WCSPH(SolverBase):
 
         state, sorted_ids, _ = gridops.sort_state_by_cell(state, spec)
         coords = gridops.cell_coords(state.x, spec)
-        meta = ps.block_meta(sorted_ids, coords, spec, scfg.block_size, scfg.window_cap)
+        meta, need = ps.block_meta(
+            sorted_ids, coords, spec, scfg.block_size, scfg.window_cap
+        )
+        state = self._track_occ(state, need)
         pack = ps.pack_state(
             state.x, state.v, state.density, state.pressure,
             state.mass, state.volume, state.material, sorted_ids, params,

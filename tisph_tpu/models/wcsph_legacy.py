@@ -41,6 +41,7 @@ class WCSPHLegacy(SolverBase):
 
         state, sorted_ids, _ = gridops.sort_state_by_cell(state, spec)
         nd = gridops.build_neighbor_data(state, sorted_ids, spec, scfg)
+        state = self._track_occ(state, nd.window_need)
 
         if self.boundary_mode == "per_step":
             volume = F.compute_boundary_volumes(state, nd, spec, params, scfg)

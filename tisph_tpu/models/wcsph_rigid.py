@@ -48,6 +48,7 @@ class WCSPHRigid(WCSPH):
 
         state, sorted_ids, _ = gridops.sort_state_by_cell(state, spec)
         nd = gridops.build_neighbor_data(state, sorted_ids, spec, scfg)
+        state = self._track_occ(state, nd.window_need)
 
         volume = F.compute_boundary_volumes(state, nd, spec, params, scfg)
         state = dataclasses.replace(state, volume=volume)

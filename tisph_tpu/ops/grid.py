@@ -235,24 +235,25 @@ def cell_target_ranges(coords: jax.Array, spec: GridSpec) -> jax.Array:
     return jnp.stack(ranges, axis=1)
 
 
-def block_window_starts(
+def block_window_bounds(
     sorted_ids: jax.Array,
     coords: jax.Array,
     spec: GridSpec,
     block_size: int,
     ids_i: jax.Array | None = None,
-) -> jax.Array:
-    """Per-(block, row) candidate-window start indices: (num_blocks, rows).
+) -> tuple[jax.Array, jax.Array]:
+    """Per-(block, row) candidate-window [start, end) bounds, each
+    (num_blocks, rows) int32, in j-array (sorted) coordinates.
 
     The window for a block/row begins at the first sorted particle whose
-    cell id >= the MINIMUM of the row's per-particle c_lo over the block.
-    (The minimum, not the first particle's value: per-row c_lo is monotone
-    over sorted order EXCEPT at clamped grid edges, where two different
-    leads can clip onto the same edge cell with decreasing z — sampling the
-    first particle there overshoots and silently drops edge-cell
-    neighbors.)  Costs one searchsorted of num_blocks*rows queries —
-    thousands, not the num_cells (~10^5-10^6) a full CSR bounds array
-    would need.
+    cell id >= the MINIMUM of the row's per-particle c_lo over the block,
+    and ends past the last particle with id <= the MAXIMUM c_hi.
+    (Reductions, not first/last sampling: per-row c_lo is monotone over
+    sorted order EXCEPT at clamped grid edges, where two different leads
+    can clip onto the same edge cell with decreasing z — sampling the first
+    particle there overshoots and silently drops edge-cell neighbors.)
+    Costs two searchsorteds of num_blocks*rows queries — thousands, not the
+    num_cells (~10^5-10^6) a full CSR bounds array would need.
     """
     n = coords.shape[0]
     num_blocks = -(-n // block_size)
@@ -262,20 +263,25 @@ def block_window_starts(
     strides = np.asarray(spec.strides)
 
     lead = coords[:, : spec.dim - 1]
-    z_lo = jnp.maximum(coords[:, spec.dim - 1] - 1, 0)
-    queries = []
+    z = coords[:, spec.dim - 1]
+    z_lo = jnp.maximum(z - 1, 0)
+    z_hi = jnp.minimum(z + 1, int(res[-1]) - 1)
+    lo_qs, hi_qs = [], []
     for o in offsets:
         # Particles whose row offset leaves the grid have NO candidates in
-        # this row: exclude them from the min (query = num_cells) instead of
-        # clamping onto an edge column — clamping dragged edge-block windows
-        # across whole x-slabs of irrelevant particles.
+        # this row: exclude them from the reductions (lo query = num_cells,
+        # hi query = -1) instead of clamping onto an edge column — clamping
+        # dragged edge-block windows across whole x-slabs of irrelevant
+        # particles.
         nb = lead + jnp.asarray(o, dtype=jnp.int32)
         valid = jnp.all(
             (nb >= 0) & (nb < jnp.asarray(res[:-1], dtype=jnp.int32)), axis=-1
         )
         base = jnp.sum(nb * jnp.asarray(strides[:-1], dtype=jnp.int32), axis=-1)
-        queries.append(jnp.where(valid, base + z_lo, spec.num_cells))
-    q = jnp.stack(queries, axis=1)  # (n, rows)
+        lo_qs.append(jnp.where(valid, base + z_lo, spec.num_cells))
+        hi_qs.append(jnp.where(valid, base + z_hi, -1))
+    q_lo = jnp.stack(lo_qs, axis=1)  # (n, rows)
+    q_hi = jnp.stack(hi_qs, axis=1)
     # Inactive (sentinel-id) rows derive coords from their parked positions,
     # not their sort position — excluding them keeps a mixed tail block's
     # window anchored on its ACTIVE particles (else the min drags the
@@ -286,19 +292,44 @@ def block_window_starts(
     if ids_i is None:
         ids_i = sorted_ids[:n]
     inactive = (ids_i >= spec.num_cells)[:, None]
-    q = jnp.where(inactive, spec.num_cells, q)
+    q_lo = jnp.where(inactive, spec.num_cells, q_lo)
+    q_hi = jnp.where(inactive, -1, q_hi)
     if padded != n:
-        q = jnp.pad(q, ((0, padded - n), (0, 0)), constant_values=spec.num_cells)
-    q_min = jnp.min(q.reshape(num_blocks, block_size, -1), axis=1)
-    starts = jnp.searchsorted(sorted_ids, q_min.reshape(-1), side="left")
-    return starts.reshape(num_blocks, spec.num_rows).astype(jnp.int32)
+        q_lo = jnp.pad(q_lo, ((0, padded - n), (0, 0)), constant_values=spec.num_cells)
+        q_hi = jnp.pad(q_hi, ((0, padded - n), (0, 0)), constant_values=-1)
+    lo_min = jnp.min(q_lo.reshape(num_blocks, block_size, -1), axis=1)
+    hi_max = jnp.max(q_hi.reshape(num_blocks, block_size, -1), axis=1)
+    starts = jnp.searchsorted(sorted_ids, lo_min.reshape(-1), side="left")
+    ends = jnp.searchsorted(sorted_ids, hi_max.reshape(-1) + 1, side="left")
+    shape = (num_blocks, spec.num_rows)
+    return (
+        starts.reshape(shape).astype(jnp.int32),
+        ends.reshape(shape).astype(jnp.int32),
+    )
 
 
-def max_window_length(runs: jax.Array, block_size: int) -> jax.Array:
+def block_window_starts(
+    sorted_ids: jax.Array,
+    coords: jax.Array,
+    spec: GridSpec,
+    block_size: int,
+    ids_i: jax.Array | None = None,
+) -> jax.Array:
+    """Per-(block, row) window start indices (see block_window_bounds)."""
+    return block_window_bounds(sorted_ids, coords, spec, block_size, ids_i)[0]
+
+
+def max_window_length(
+    runs: jax.Array, block_size: int, lane_quant: int = 1
+) -> jax.Array:
     """Longest per-block candidate window: for blocks of ``block_size``
     consecutive sorted particles, window = last particle's run end - first
     particle's run start, maximised over blocks and stencil rows.  This is
-    the quantity the blocked sweep's ``window_cap`` must bound."""
+    the quantity the blocked sweep's ``window_cap`` must bound.
+
+    ``lane_quant``: the pallas sweep quantises window starts DOWN to the
+    128-lane grid, so its effective requirement is measured from the
+    quantised start (pass lane_quant=128 to match)."""
     n = runs.shape[0]
     nb = -(-n // block_size)
     pad = nb * block_size - n
@@ -310,7 +341,10 @@ def max_window_length(runs: jax.Array, block_size: int) -> jax.Array:
     empty = (blocks[..., 0] >= blocks[..., 1]) | pad_mask
     starts = jnp.where(empty, np.iinfo(np.int32).max, blocks[..., 0])
     ends = jnp.where(empty, 0, blocks[..., 1])
-    win = jnp.maximum(jnp.max(ends, axis=1) - jnp.min(starts, axis=1), 0)
+    start_min = jnp.min(starts, axis=1)
+    if lane_quant > 1:
+        start_min = (start_min // lane_quant) * lane_quant
+    win = jnp.maximum(jnp.max(ends, axis=1) - start_min, 0)
     return jnp.max(win)
 
 
@@ -393,12 +427,23 @@ def build_neighbor_data(sorted_state, sorted_ids: jax.Array, spec: GridSpec, cfg
     coords = cell_coords(sorted_state.x, spec)
     if cfg.impl == "gather":
         bounds = csr_bounds(sorted_ids, spec)
-        return NeighborData(runs=stencil_runs(coords, bounds, spec))
+        runs = stencil_runs(coords, bounds, spec)
+        # per-dispatch overflow diagnostic: longest ACTIVE run vs spec.run_cap
+        # (inactive tail rows carry parked-position coords — mask them out)
+        active = (sorted_ids < spec.num_cells)[:, None]
+        lens = jnp.where(active, runs[..., 1] - runs[..., 0], 0)
+        return NeighborData(runs=runs, window_need=jnp.max(lens))
     if cfg.impl in ("blocked", "pallas"):  # pallas generic path = blocked
+        wstarts, wends = block_window_bounds(
+            sorted_ids, coords, spec, cfg.block_size
+        )
         return NeighborData(
             cell_ranges=cell_target_ranges(coords, spec),
-            wstarts=block_window_starts(sorted_ids, coords, spec, cfg.block_size),
+            wstarts=wstarts,
             sorted_ids=sorted_ids,
+            # longest window any block actually needs this step; compared
+            # against cfg.window_cap by SolverBase.run after every dispatch
+            window_need=jnp.max(jnp.maximum(wends - wstarts, 0)),
         )
     raise ValueError(f"unknown sweep impl {cfg.impl!r}")
 

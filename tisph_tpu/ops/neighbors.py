@@ -36,6 +36,8 @@ class NeighborData(NamedTuple):
     cell_ranges: object = None  # (N, rows, 2) — blocked impl
     wstarts: object = None      # (blocks, rows) — blocked impl
     sorted_ids: object = None   # (N,) — blocked impl
+    window_need: object = None  # () i32 — longest window/run this structure
+    #                             needs (overflow check vs the static cap)
 
 
 @dataclasses.dataclass(frozen=True)

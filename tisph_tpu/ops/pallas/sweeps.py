@@ -269,55 +269,30 @@ def block_meta(
     window: int,
     ids_i: jax.Array | None = None,
     i_offset: jax.Array | int | None = 0,
-) -> jax.Array:
-    """(ceil8(num_blocks), 128) i32: per block, [wstarts | wlens] padded.
+) -> tuple[jax.Array, jax.Array]:
+    """Returns ``(meta, need)``:
 
-    starts = searchsorted of min-over-block row c_lo, quantised DOWN to the
-    128-lane grid (the DMA offset must be lane-aligned);
-    ends   = searchsorted of max-over-block row c_hi + 1.
-    Min/max reductions (not first/last sampling) because the inactive
-    padding tail has position-derived coords that break the monotonicity
-    the active particles' sorted order guarantees.
+    - meta: (ceil8(num_blocks), 128) i32; per block, [wstarts | wlens]
+      padded.  starts = searchsorted of min-over-block row c_lo
+      (grid.block_window_bounds), quantised DOWN to the 128-lane grid (the
+      DMA offset must be lane-aligned); lens clipped to ``window``.
+    - need: () i32 — the longest QUANTISED window any block actually needs
+      (before clipping).  ``need > window`` means candidates were silently
+      dropped this step; SolverBase.run watches this after every dispatch.
 
     In the sharded setting the i side (``coords``/``ids_i``) is a sub-range
     of the halo-extended j array (``sorted_ids``); window indices are in
     j-array coordinates."""
+    from tisph_tpu.ops.grid import block_window_bounds
+
     n_j = sorted_ids.shape[0]
     n = coords.shape[0]
     if ids_i is None:
         ids_i = sorted_ids
-    offsets = _row_offsets(spec)
-    res = np.asarray(spec.res)
-    strides = np.asarray(spec.strides)
     num_blocks = n // block
-
-    lead = coords[:, : spec.dim - 1]
-    z = coords[:, spec.dim - 1]
-    lo_list, hi_list = [], []
-    for o in offsets:
-        # exclude out-of-grid rows from the reductions (see
-        # grid.block_window_starts): clamping onto edge columns drags the
-        # window across whole slabs of irrelevant particles
-        nb = lead + jnp.asarray(o, jnp.int32)
-        valid = jnp.all((nb >= 0) & (nb < jnp.asarray(res[:-1], jnp.int32)), axis=-1)
-        base = jnp.sum(nb * jnp.asarray(strides[:-1], jnp.int32), axis=-1)
-        lo_list.append(jnp.where(valid, base + jnp.maximum(z - 1, 0), spec.num_cells))
-        hi_list.append(jnp.where(valid, base + jnp.minimum(z + 1, int(res[-1]) - 1), -1))
-    # Exclude inactive (sentinel-id) rows from the reductions: their coords
-    # come from parked positions, and letting them drag the min start down
-    # would truncate the capped window before the block's ACTIVE particles.
-    inactive = (ids_i >= spec.num_cells)[:, None]
-    c_lo_all = jnp.where(inactive, spec.num_cells, jnp.stack(lo_list, 1))
-    c_hi_all = jnp.where(inactive, -1, jnp.stack(hi_list, 1))
-    c_lo = c_lo_all.reshape(num_blocks, block, -1)
-    c_hi = c_hi_all.reshape(num_blocks, block, -1)
-    lo_q = jnp.min(c_lo, axis=1)  # (num_blocks, rows)
-    hi_q = jnp.max(c_hi, axis=1)
-    starts = jnp.searchsorted(sorted_ids, lo_q.reshape(-1), side="left")
-    ends = jnp.searchsorted(sorted_ids, hi_q.reshape(-1) + 1, side="left")
-    starts = starts.reshape(num_blocks, -1).astype(jnp.int32)
-    ends = ends.reshape(num_blocks, -1).astype(jnp.int32)
+    starts, ends = block_window_bounds(sorted_ids, coords, spec, block, ids_i=ids_i)
     starts_q = (starts // _LANE) * _LANE  # lane-aligned DMA offsets
+    need = jnp.max(jnp.maximum(ends - starts_q, 0))
     starts_q = jnp.clip(starts_q, 0, max(n_j - window, 0))
     lens = jnp.clip(ends - starts_q, 0, window)
     meta = jnp.concatenate([starts_q, lens], axis=1)
@@ -328,7 +303,7 @@ def block_meta(
     meta = jnp.pad(meta, ((0, nb8 - num_blocks), (0, 128 - meta.shape[1])))
     if i_offset is not None:
         meta = meta.at[:, 127].set(jnp.asarray(i_offset, jnp.int32))
-    return meta
+    return meta, need
 
 
 def _run_sweep(pack, meta, mode, spec, params, block, window, tile, interpret,

@@ -280,7 +280,7 @@ class ShardedWCSPH(SolverBase):
             if scfg.impl == "pallas":
                 from tisph_tpu.ops.pallas import sweeps as ps
 
-                meta = ps.block_meta(
+                meta, _need = ps.block_meta(
                     ids_e, coords_l, spec, scfg.block_size, scfg.window_cap,
                     ids_i=ids_l, i_offset=off,
                 )
