@@ -40,7 +40,18 @@ def main() -> int:
                     help="write a full-state checkpoint here at the end")
     ap.add_argument("--resume", default=None,
                     help="resume from a checkpoint written by --checkpoint")
+    ap.add_argument("--view", action="store_true",
+                    help="live matplotlib window updated as frames complete "
+                         "(the reference's ti.GUI loop, main.py:16-24; falls "
+                         "back to headless Agg snapshots without a display)")
+    ap.add_argument("--view-every", type=int, default=1,
+                    help="with --view: redraw every N frames")
+    ap.add_argument("--gif", default=None,
+                    help="assemble exported PNG frames into a GIF here "
+                         "(requires --out and --format png)")
     args = ap.parse_args()
+    if args.gif and (not args.out or args.format != "png"):
+        ap.error("--gif requires --out DIR and --format png")
 
     scene = tt.load_scene(args.scene)
     print(f"scene: dim={scene.dim} domain={scene.domain_start}->{scene.domain_end} "
@@ -78,6 +89,11 @@ def main() -> int:
         from tisph_tpu.render.export import FrameExporter
         exporter = FrameExporter(args.out, fmt=args.format, scene=scene)
 
+    viewer = None
+    if args.view:
+        from tisph_tpu.render.viewer import Viewer
+        viewer = Viewer(scene, interactive=True)
+
     t0 = time.time()
     for frame in range(args.steps):
         if rigid is not None:
@@ -92,6 +108,8 @@ def main() -> int:
             state = solver.rollout(state, args.substeps)
         if exporter is not None:
             exporter.save(state, frame)
+        if viewer is not None and frame % args.view_every == 0:
+            viewer.show(state, title=f"frame {frame}")
         if args.metrics_every and frame % args.metrics_every == 0:
             m = jax.device_get(solver.metrics(state))
             print(f"frame {frame:5d}  vmax={float(m['max_velocity']):8.3f}  "
@@ -113,9 +131,14 @@ def main() -> int:
     pps = int(state.num_active) * total_steps / wall
     print(f"done: {total_steps} steps, {wall:.2f}s wall, "
           f"{pps:.3e} particle-steps/sec")
+    if viewer is not None:
+        viewer.close()
     if exporter is not None:
         exporter.close()
         print(f"frames written to {args.out}")
+    if args.gif:
+        from tisph_tpu.render.video import frames_to_gif
+        print(f"GIF written to {frames_to_gif(args.out, args.gif)}")
     if args.checkpoint:
         from tisph_tpu import checkpoint
         checkpoint.save_npz(state, args.checkpoint)

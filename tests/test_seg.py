@@ -1,0 +1,176 @@
+"""Seg layout (grid.seg_plan + pallas row-confined logical-block sweeps):
+the layout is a pure re-indexing of the compact sorted array, so sweep
+outputs must match the jnp blocked sweep / brute force on the identical
+state, and the plan itself must be a consistent block partition."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import tisph_tpu as tt
+from tisph_tpu.models.state import pad_state_capacity
+from tisph_tpu.ops import forces as F
+from tisph_tpu.ops import grid as gridops
+from tisph_tpu.ops.kernels import cubic_kernel
+from tisph_tpu.ops.neighbors import SweepConfig
+from tisph_tpu.ops.pallas import sweeps as ps
+
+from test_pallas import _scene
+
+
+def _seg_setup(scene, cap=2048, pad_cap=8192, block=128, wcap=512):
+    state = tt.build_state(scene)
+    solver = tt.WCSPH(
+        scene,
+        sweep_cfg=SweepConfig(impl="pallas", block_size=block, window_cap=wcap,
+                              tile=128, interpret=True, layout="seg",
+                              pad_capacity=pad_cap),
+    )
+    state = solver.bind(pad_state_capacity(state, cap))
+    spec, params, scfg = solver.spec, solver.params, solver.sweep_cfg
+    state_s, ids, _ = gridops.sort_state_by_cell(state, spec)
+    plan = gridops.seg_plan(ids, spec, scfg.block_size,
+                            scfg.pad_capacity // scfg.block_size)
+    meta, _ = ps.seg_block_meta(
+        plan, ids, spec, scfg.block_size, scfg.window_cap
+    )
+    pack = ps.pack_state(
+        state_s.x, state_s.v, state_s.density, state_s.pressure,
+        state_s.mass, state_s.volume, state_s.material, ids, params,
+    )
+    return solver, state_s, ids, plan, meta, pack
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_seg_plan_is_consistent(dim):
+    scene = _scene(dim=dim)
+    solver, state_s, ids, plan, _, _ = _seg_setup(scene)
+    spec = solver.spec
+    block = solver.sweep_cfg.block_size
+    ids_np = np.asarray(ids)
+    res_z = spec.res[-1]
+    n = ids_np.shape[0]
+    act = ids_np < spec.num_cells
+
+    seg_start = np.asarray(plan.seg_start)
+    row_of = np.asarray(plan.row_of)
+    z_first = np.asarray(plan.z_first)
+    z_last = np.asarray(plan.z_last)
+    back = np.asarray(plan.back_idx)
+    back_valid = np.asarray(plan.back_valid)
+
+    # starts are lane-aligned (the DMA grid)
+    assert (seg_start % 128 == 0).all()
+
+    # every active particle maps to a slot whose block agrees on position,
+    # row, and z range; slots are unique (no two particles share one)
+    assert back_valid[act].all() and not back_valid[~act].any()
+    assert len(np.unique(back[act])) == act.sum()
+    for t in np.nonzero(act)[0][:: max(1, n // 300)]:
+        b, lane = back[t] // block, back[t] % block
+        assert seg_start[b] + lane == t
+        assert row_of[b] == ids_np[t] // res_z
+        z = ids_np[t] % res_z
+        assert z_first[b] <= z <= z_last[b]
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_seg_density_matches_bruteforce(dim):
+    scene = _scene(dim=dim)
+    solver, state_s, ids, plan, meta, pack = _seg_setup(scene)
+    spec, params, scfg = solver.spec, solver.params, solver.sweep_cfg
+
+    rho_blk = ps.density_sweep_seg(
+        pack, meta, spec, params, scfg.block_size, scfg.window_cap,
+        tile=scfg.tile, interpret=True,
+    )
+    rho_p = np.asarray(rho_blk[plan.back_idx])
+
+    x = np.asarray(state_s.x, dtype=np.float64)
+    act = np.asarray(state_s.material) != -1
+    h = params.support_length
+    m = np.asarray(state_s.mass)
+    n = x.shape[0]
+    d = np.linalg.norm(x[:, None, :] - x[None, :, :], axis=-1)
+    nb = (d < h) & ~np.eye(n, dtype=bool) & act[None, :] & act[:, None]
+    w = np.asarray(
+        cubic_kernel(jnp.asarray(d.reshape(-1), jnp.float32), h, dim)
+    ).reshape(n, n)
+    w0 = float(cubic_kernel(jnp.zeros(()), h, dim))
+    rho_brute = m * w0 + (w * nb * m[None, :]).sum(1)
+
+    fluid = np.asarray(state_s.material) == 1
+    np.testing.assert_allclose(rho_p[fluid], rho_brute[fluid], rtol=2e-5)
+
+
+def test_seg_force_matches_blocked():
+    scene = _scene()
+    solver, state_s, ids, plan, meta, pack = _seg_setup(scene)
+    spec, params, scfg = solver.spec, solver.params, solver.sweep_cfg
+
+    scfg_b = SweepConfig(impl="blocked", block_size=128, window_cap=1024)
+    nd = gridops.build_neighbor_data(state_s, ids, spec, scfg_b)
+    rho = F.compute_densities(state_s, nd, spec, params, scfg_b)
+    rho, p = F.compute_pressures(rho, params)
+    state_s = dataclasses.replace(state_s, density=rho, pressure=p)
+    pack = ps.repack_eos(pack, rho, p)
+
+    dv_b = np.asarray(F.compute_forces(state_s, nd, spec, params, scfg_b))
+    dv_blk = ps.force_sweep_seg(
+        pack, meta, spec, params, scfg.block_size, scfg.window_cap,
+        tile=scfg.tile, interpret=True,
+    )
+    dv_p = np.asarray(dv_blk[plan.back_idx])
+    fluid = np.asarray(state_s.material) == 1
+    scale = np.abs(dv_b[fluid]).max()
+    np.testing.assert_allclose(dv_p[fluid] / scale, dv_b[fluid] / scale, atol=5e-6)
+
+
+def test_seg_step_matches_blocked_trajectory():
+    """Full jitted seg steps track the blocked solver to fp32
+    reduction-order tolerance over a few steps."""
+    scene = _scene()
+    state = tt.build_state(scene)
+    n = int(state.num_active)
+    s_blk = tt.WCSPH(scene, sweep_cfg=SweepConfig(impl="blocked",
+                                                  block_size=128, window_cap=2048))
+    st_b = s_blk.bind(state)
+    s_sg = tt.WCSPH(
+        scene,
+        sweep_cfg=SweepConfig(impl="pallas", block_size=128, window_cap=512,
+                              tile=128, interpret=True, layout="seg",
+                              pad_capacity=8192),
+    )
+    st_s = s_sg.bind(state)
+    for _ in range(5):
+        st_b = s_blk.step(st_b)
+        st_s = s_sg.step(st_s)
+    xb = np.asarray(st_b.x)[:n]
+    xs = np.asarray(st_s.x)[:n]
+    assert np.abs(xb - xs).max() < 1e-5
+    assert int(jax.device_get(st_s.occ_rowpad)) > 0
+
+
+def test_seg_overflow_detected_and_regrown():
+    """A too-small block capacity is detected via occ_rowpad after one
+    dispatch, and run() regrows it."""
+    scene = _scene()
+    state = tt.build_state(scene)
+    solver = tt.WCSPH(
+        scene,
+        sweep_cfg=SweepConfig(impl="pallas", block_size=128, window_cap=512,
+                              tile=128, interpret=True, layout="seg",
+                              pad_capacity=8192),
+    )
+    state = solver.bind(state)
+    # shrink the capacity AFTER bind (bind itself auto-grows a too-small one)
+    solver.sweep_cfg = dataclasses.replace(solver.sweep_cfg, pad_capacity=512)
+    solver._step_jit = None
+    state = solver.step(state)
+    need = int(jax.device_get(state.occ_rowpad))
+    assert need > 512
+    state = solver.run(state, 2, check_every=1)
+    assert solver.sweep_cfg.pad_capacity >= need

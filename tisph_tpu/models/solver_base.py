@@ -29,6 +29,12 @@ class SolverBase:
     """Holds static configuration (SolverParams + GridSpec) and the jitted
     step.  All simulation state lives in the SimState pytree."""
 
+    # pallas sweep layout picked when sweep_cfg is auto-resolved at bind:
+    # 'linear' = blocks straddle rows over the compact sorted array;
+    # 'seg' = row-confined logical blocks (grid.seg_plan).  A/B'd on the
+    # real v5e with tools/profile_step.py --layout.
+    pallas_layout = "seg"
+
     def __init__(
         self,
         scene: SceneConfig,
@@ -86,7 +92,10 @@ class SolverBase:
         if self.sweep_cfg is None:
             wcap = max(128, -(-int(window * 1.5) // 128) * 128)
             impl = "pallas" if jax.default_backend() == "tpu" else "blocked"
-            self.sweep_cfg = SweepConfig(impl=impl, block_size=block, window_cap=wcap)
+            layout = self.pallas_layout if impl == "pallas" else "linear"
+            self.sweep_cfg = SweepConfig(
+                impl=impl, block_size=block, window_cap=wcap, layout=layout
+            )
         if self.sweep_cfg.impl == "pallas":
             # pallas kernel constraints: window multiple of tile, capacity
             # multiple of block, f32-exact cell ids
@@ -104,13 +113,51 @@ class SolverBase:
                     f"{self.spec.num_cells} >= 2**24 would lose precision"
                 )
             block = cfg.block_size
-            if state.capacity % block or state.capacity < cfg.window_cap:
-                unit = block
-                cap = int(-(-max(state.capacity, cfg.window_cap) // unit) * unit)
+            floor = max(cfg.window_cap, block + 256)  # seg i-slab width too
+            if state.capacity % block or state.capacity < floor:
+                cap = int(-(-max(state.capacity, floor) // block) * block)
                 state = pad_state_capacity(state, cap)
+            if cfg.layout == "seg":
+                state, cfg = self._bind_seg(state, cfg)
+                self.sweep_cfg = cfg
         if self.boundary_mode == "static":
             state = self._precompute_boundary_volumes(state)
         return state
+
+    def _bind_seg(self, state: SimState, cfg):
+        """Resolve the seg-layout static capacities from the initial state:
+        the logical-block capacity (in particle slots, block_cap * block;
+        generous headroom — each newly wetted grid row costs one block) and
+        the single-column window cap (measured from one device seg pass —
+        far smaller than the linear-layout window, so the DMA scratch and
+        per-row fetches shrink accordingly)."""
+        import dataclasses as _dc
+
+        from tisph_tpu.ops.pallas import sweeps as psweeps
+
+        block = cfg.block_size
+        if cfg.pad_capacity <= 0:
+            cfg = _dc.replace(
+                cfg,
+                pad_capacity=gridops.suggest_block_capacity(state, self.spec, block),
+            )
+        spec = self.spec
+        block_cap = cfg.pad_capacity // block
+        wcap0 = cfg.window_cap
+
+        @jax.jit
+        def _measure(st: SimState):
+            _, ids, _ = gridops.sort_state_by_cell(st, spec)
+            plan = gridops.seg_plan(ids, spec, block, block_cap)
+            _, need = psweeps.seg_block_meta(plan, ids, spec, block, wcap0)
+            return need, plan.need_blocks
+
+        need, nblocks = (int(v) for v in jax.device_get(_measure(state)))
+        if nblocks > block_cap:
+            cfg = _dc.replace(cfg, pad_capacity=(nblocks + 2048) * block)
+        t = cfg.tile
+        wcap = int(-(-(int(need * 1.5) + 128) // t) * t)
+        return state, _dc.replace(cfg, window_cap=max(wcap, t))
 
     def _precompute_boundary_volumes(self, state: SimState) -> SimState:
         """One-time Akinci boundary volume pass (see boundary_mode)."""
@@ -241,25 +288,48 @@ class SolverBase:
                             else ""
                         )
                     )
-            state = _dc.replace(state, occ_window=jnp.zeros((), jnp.int32))
+            cfg = self.sweep_cfg
+            if cfg is not None and cfg.layout == "seg":
+                pad_occ = int(jax.device_get(state.occ_rowpad))
+                pad_cap = int(cfg.pad_capacity)
+                if pad_occ > warn_frac * pad_cap:
+                    self.regrow(new_pad=int(max(pad_occ, pad_cap) * grow))
+                    if verbose:
+                        print(
+                            f"[tisph] seg block occupancy {pad_occ} "
+                            f"{'exceeded' if pad_occ > pad_cap else 'approaching'} "
+                            f"cap {pad_cap} slots; re-capacitated to "
+                            f"{self.sweep_cfg.pad_capacity}"
+                        )
+            state = _dc.replace(
+                state,
+                occ_window=jnp.zeros((), jnp.int32),
+                occ_rowpad=jnp.zeros((), jnp.int32),
+            )
         return state
 
-    def regrow(self, new_window: int) -> None:
-        """Raise the sweep/run capacity and drop ALL compiled artifacts
+    def regrow(self, new_window: int | None = None, new_pad: int | None = None) -> None:
+        """Raise the sweep/run capacity (``new_window``) and/or the rowpad
+        padded capacity (``new_pad``) and drop ALL compiled artifacts
         (including subclass-cached jits like WCSPHRigid's coupled step —
         anything stored in an attribute ending in ``_jit``)."""
         import dataclasses as _dc
 
         cfg = self.sweep_cfg
-        if cfg is not None and cfg.impl == "gather":
-            # the gather sweep reads spec.run_cap, not window_cap
-            cap = max(8, int(-(-new_window // 8) * 8))
-            self.spec = _dc.replace(self.spec, run_cap=cap)
-        else:
-            t = cfg.tile if cfg.impl == "pallas" else 128
-            margin = 128 if cfg.impl == "pallas" else 0  # lane quantisation
-            wcap = int(-(-(new_window + margin) // t) * t)
-            self.sweep_cfg = _dc.replace(cfg, window_cap=wcap)
+        if new_window is not None:
+            if cfg is not None and cfg.impl == "gather":
+                # the gather sweep reads spec.run_cap, not window_cap
+                cap = max(8, int(-(-new_window // 8) * 8))
+                self.spec = _dc.replace(self.spec, run_cap=cap)
+            else:
+                t = cfg.tile if cfg.impl == "pallas" else 128
+                margin = 128 if cfg.impl == "pallas" else 0  # lane quantisation
+                wcap = int(-(-(new_window + margin) // t) * t)
+                self.sweep_cfg = cfg = _dc.replace(cfg, window_cap=wcap)
+        if new_pad is not None:
+            block = cfg.block_size if cfg is not None else 128
+            pcap = int(-(-new_pad // block) * block)
+            self.sweep_cfg = _dc.replace(cfg, pad_capacity=pcap)
         for name in [k for k in vars(self) if k.endswith("_jit")]:
             setattr(self, name, None)
 
@@ -293,6 +363,19 @@ class SolverBase:
             if cfg is not None and cfg.impl == "gather":
                 occupancy = gridops.max_run_length(runs)
                 occupancy_cap = jnp.asarray(spec.run_cap)
+            elif cfg is not None and cfg.layout == "seg":
+                # seg windows are single-column; measure the layout's own
+                # requirement (same quantity _track_occ folds per step)
+                from tisph_tpu.ops.pallas import sweeps as psweeps
+
+                plan = gridops.seg_plan(
+                    sorted_ids, spec, cfg.block_size,
+                    cfg.pad_capacity // cfg.block_size,
+                )
+                _, occupancy = psweeps.seg_block_meta(
+                    plan, sorted_ids, spec, cfg.block_size, cfg.window_cap
+                )
+                occupancy_cap = jnp.asarray(cfg.window_cap)
             else:
                 block = cfg.block_size if cfg is not None else 128
                 # pallas quantises window starts down to the 128-lane grid;

@@ -55,6 +55,13 @@ class SimState:
     occ_window: jax.Array = dataclasses.field(
         default_factory=lambda: np.zeros((), np.int32)
     )
+    # () i32 — running max of the rowpad-layout slot requirement
+    # (grid.rowpad_plan pad_need); compared against the static
+    # SweepConfig.pad_capacity by SolverBase.run, same contract as
+    # occ_window.  Zero when the layout is not 'rowpad'.
+    occ_rowpad: jax.Array = dataclasses.field(
+        default_factory=lambda: np.zeros((), np.int32)
+    )
 
     @property
     def capacity(self) -> int:
@@ -164,5 +171,6 @@ def state_to_host(state: SimState) -> dict[str, np.ndarray]:
     """
     host: dict[str, Any] = jax.device_get(dataclasses.asdict(state))
     n = int(host.pop("num_active"))
-    host.pop("occ_window", None)  # transient diagnostic, not state
+    host.pop("occ_window", None)  # transient diagnostics, not state
+    host.pop("occ_rowpad", None)
     return {k: np.asarray(a[:n]) for k, a in host.items()} | {"num_active": np.asarray(n)}

@@ -56,6 +56,8 @@ class WCSPH(SolverBase):
     def _step_fn_pallas(self, state: SimState) -> SimState:
         """Same step, with the two neighbor sweeps running as fused Pallas
         TPU kernels (ops/pallas/sweeps.py) over the packed sorted state."""
+        if self.sweep_cfg.layout == "seg":
+            return self._step_fn_pallas_seg(state)
         import jax.numpy as jnp
 
         from tisph_tpu.ops.pallas import sweeps as ps
@@ -103,6 +105,70 @@ class WCSPH(SolverBase):
             tile=scfg.tile, interpret=scfg.interpret, fast_math=scfg.fast_math,
         )
         dv = jnp.where(state.fluid_mask[:, None], dv, 0.0)
+
+        state = F.advect(state, dv, params)
+        return F.enforce_domain_boundary(state, params)
+
+    def _step_fn_pallas_seg(self, state: SimState) -> SimState:
+        """Pallas step over row-confined logical blocks (grid.seg_plan): the
+        particle array and the pack stay compact-sorted; blocks are defined
+        per grid row so every candidate window is the exact single-column
+        [z_first-1, z_last+1] run, and sweep outputs land in block-slot
+        space, gathered back via the plan's inverse map."""
+        import jax.numpy as jnp
+
+        from tisph_tpu.ops.pallas import sweeps as ps
+
+        spec, params, scfg = self.spec, self.params, self.sweep_cfg
+        block_cap = scfg.pad_capacity // scfg.block_size
+
+        state, sorted_ids, _ = gridops.sort_state_by_cell(state, spec)
+        plan = gridops.seg_plan(sorted_ids, spec, scfg.block_size, block_cap)
+        state = dataclasses.replace(
+            state,
+            occ_rowpad=jnp.maximum(
+                jnp.asarray(state.occ_rowpad, jnp.int32),
+                (plan.need_blocks * scfg.block_size).astype(jnp.int32),
+            ),
+        )
+        meta, need = ps.seg_block_meta(
+            plan, sorted_ids, spec, scfg.block_size, scfg.window_cap
+        )
+        state = self._track_occ(state, need)
+
+        volume = state.volume
+        if self.boundary_mode == "per_step":
+            nd = gridops.build_neighbor_data(
+                state, sorted_ids, spec,
+                dataclasses.replace(scfg, impl="blocked"),
+            )
+            volume = F.compute_boundary_volumes(
+                state, nd, spec, params, dataclasses.replace(scfg, impl="blocked")
+            )
+            state = dataclasses.replace(state, volume=volume)
+
+        pack = ps.pack_state(
+            state.x, state.v, state.density, state.pressure,
+            state.mass, volume, state.material, sorted_ids, params,
+        )
+
+        kw = dict(tile=scfg.tile, interpret=scfg.interpret,
+                  fast_math=scfg.fast_math)
+        rho_blk = ps.density_sweep_seg(
+            pack, meta, spec, params,
+            scfg.block_size, scfg.window_cap, **kw
+        )
+        keep = plan.back_valid & state.fluid_mask
+        rho = jnp.where(keep, rho_blk[plan.back_idx], state.density)
+        rho, pressure = F.compute_pressures(rho, params)
+        state = dataclasses.replace(state, density=rho, pressure=pressure)
+        pack = ps.repack_eos(pack, rho, pressure)
+
+        dv_blk = ps.force_sweep_seg(
+            pack, meta, spec, params,
+            scfg.block_size, scfg.window_cap, **kw
+        )
+        dv = jnp.where(keep[:, None], dv_blk[plan.back_idx], 0.0)
 
         state = F.advect(state, dv, params)
         return F.enforce_domain_boundary(state, params)

@@ -26,7 +26,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
-from typing import Sequence
+from typing import NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -157,6 +157,149 @@ def csr_bounds_scan(ids: jax.Array, spec: GridSpec) -> jax.Array:
     )
     ends = jnp.cumsum(counts[: spec.num_cells])
     return jnp.concatenate([jnp.zeros((1,), ends.dtype), ends]).astype(jnp.int32)
+
+
+def _segment_of(starts: jax.Array, size: int) -> jax.Array:
+    """For each position in [0, size): the index of the segment it falls in,
+    where segment s covers [starts[s], starts[s+1]).  ``starts`` must be
+    non-decreasing with starts[0] == 0.  Scatter + cumsum — O(size) with a
+    small scatter, much faster on TPU than a searchsorted per position."""
+    marks = jnp.zeros((size + 1,), jnp.int32).at[
+        jnp.minimum(starts[1:], size)
+    ].add(1, mode="drop")
+    return jnp.cumsum(marks[:size])
+
+
+_SEG_ALIGN = 128  # logical-block starts are lane-aligned (TPU DMA grid)
+
+
+class SegPlan(NamedTuple):
+    """Row-segmented logical blocks over the compact cell-sorted array
+    (see :func:`seg_plan`).  All arrays static-shape; ``block_cap`` logical
+    blocks of ``block`` i-lanes each."""
+
+    seg_start: jax.Array   # (block_cap,) i32 — compact, 128-aligned block start
+    seg_len: jax.Array     # (block_cap,) i32 — own-row lanes (0 = unused block)
+    row_of: jax.Array      # (block_cap,) i32 — grid row of each block
+    z_first: jax.Array     # (block_cap,) i32 — z cell of first own-row particle
+    z_last: jax.Array      # (block_cap,) i32 — z cell of last own-row particle
+    back_idx: jax.Array    # (n,) i32 — block-output slot of each compact index
+    back_valid: jax.Array  # (n,) bool — compact index is covered by a block
+    need_blocks: jax.Array  # () i32 — blocks this step actually needs;
+    #                         > block_cap means trailing rows lost coverage
+
+
+def seg_plan(sorted_ids: jax.Array, spec: GridSpec, block: int, block_cap: int) -> SegPlan:
+    """Partition the compact cell-sorted array into row-confined logical
+    blocks: each grid *row* (the contiguous z-run of cells sharing leading
+    coords — one column of the stencil) is covered by blocks starting at the
+    128-aligned floor of the row's first particle.
+
+    With a block's OWN lanes confined to one row, each (block, stencil-row)
+    candidate window is exactly the [z_first-1, z_last+1] run of ONE
+    neighbor column: no cross-row window blowups, no gap cells, and the
+    in-kernel cell-id membership test reduces to the window bounds
+    themselves (any window particle outside a given i's z range is >= one
+    full cell away in z, so ``r2 < h^2`` alone decides membership; windows
+    of different stencil rows live in different columns, so no pair is ever
+    double-counted).
+
+    The particle array is untouched and block starts stay lane-aligned: a
+    row's first block may begin up to 127 lanes inside the PREVIOUS row, and
+    its last block may overhang into the next — those lanes compute results
+    against the wrong row's windows and are simply discarded by the back
+    map (each particle's canonical slot is in its own row's blocks).  A
+    newly wetted row therefore costs one logical block (one grid step + one
+    output tile), not a padded relayout: dam-break spray stays cheap.
+
+    ``need_blocks > block_cap`` (detected after every dispatch via
+    SolverBase.run, same contract as window overflow) means trailing rows
+    lost sweep coverage this step; the inactive sentinel tail is never
+    covered (``back_valid`` false — callers keep prior values there).
+    """
+    n = sorted_ids.shape[0]
+    res_z = int(spec.res[-1])
+    num_rows = spec.num_cells // res_z
+
+    align = max(block, _SEG_ALIGN)  # block-index units AND the DMA lane grid
+    row_queries = jnp.arange(num_rows + 1, dtype=sorted_ids.dtype) * res_z
+    in_starts = jnp.searchsorted(sorted_ids, row_queries, side="left").astype(jnp.int32)
+    counts = jnp.diff(in_starts)
+    s0 = (in_starts[:-1] // align) * align  # (R,) aligned row origin
+    span = in_starts[1:] - s0  # row extent incl. the leading overlap
+    nblk = jnp.where(counts > 0, (span + block - 1) // block, 0)
+    blk_cum = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(nblk, dtype=jnp.int32)]
+    )
+    need_blocks = blk_cum[-1]
+    blk_cum = jnp.minimum(blk_cum, block_cap)
+
+    row_of = _segment_of(blk_cum, block_cap)  # (block_cap,) in [0, R]
+    b = jnp.arange(block_cap, dtype=jnp.int32)
+    r = jnp.minimum(row_of, num_rows - 1)
+    k_in_row = b - blk_cum[r]
+    # clip stays on the alignment grid: block starts index the packed array
+    # in units of ``block`` (BlockSpec index maps)
+    seg_start = jnp.clip(
+        s0[r] + k_in_row * block, 0, max(((n - 1) // align) * align, 0)
+    )
+    own_lo = jnp.clip(in_starts[r] - seg_start, 0, block)
+    own_hi = jnp.clip(in_starts[r + 1] - seg_start, 0, block)
+    seg_len = jnp.where(row_of < num_rows, jnp.maximum(own_hi - own_lo, 0), 0)
+
+    id_first = sorted_ids[jnp.clip(seg_start + own_lo, 0, n - 1)]
+    id_last = sorted_ids[jnp.clip(seg_start + own_hi - 1, 0, n - 1)]
+    z_first = jnp.clip(id_first - r * res_z, 0, res_z - 1)
+    z_last = jnp.clip(id_last - r * res_z, 0, res_z - 1)
+
+    # inverse map: compact index -> block-output slot.  The row of particle
+    # t is just ids[t] // res_z (sentinel tail -> num_rows) — no scan needed.
+    row_of_t = jnp.minimum(sorted_ids // res_z, num_rows).astype(jnp.int32)
+    t = jnp.arange(n, dtype=jnp.int32)
+    rr = jnp.minimum(row_of_t, num_rows - 1)
+    off_t = t - s0[rr]
+    bb = blk_cum[rr] + off_t // block
+    # a clipped (overflowed) row has blk_cum[rr+1] == blk_cum[rr]: invalid
+    back_valid = (row_of_t < num_rows) & (bb < blk_cum[rr + 1])
+    back_idx = jnp.clip(bb * block + off_t % block, 0, block_cap * block - 1)
+    return SegPlan(
+        seg_start, seg_len, r, z_first, z_last, back_idx, back_valid, need_blocks
+    )
+
+
+def decode_cell_ids(ids: jax.Array, spec: GridSpec) -> jax.Array:
+    """Flat cell ids -> integer cell coords (inverse of flat_cell_ids);
+    sentinel/overflow ids clip to the last cell."""
+    rem = jnp.minimum(ids, spec.num_cells - 1)
+    coords = []
+    for s in spec.strides:
+        coords.append(rem // s)
+        rem = rem % s
+    return jnp.stack(coords, axis=-1)
+
+
+def suggest_block_capacity(
+    state: SimState, spec: GridSpec, block: int = 128, slack: float = 4.0
+) -> int:
+    """Static seg-layout block capacity (in particle SLOTS, block_cap*block)
+    from the initial configuration: base blocks for the full capacity plus
+    generous headroom for rows wetted later (each new row costs one block).
+    Host-side, at bind."""
+    x = np.asarray(jax.device_get(state.x), dtype=np.float64)
+    mat = np.asarray(jax.device_get(state.material))
+    start = np.asarray(spec.domain_start)
+    res = np.asarray(spec.res)
+    strides = np.asarray(spec.strides)
+    coords = np.clip(np.floor((x - start) / spec.cell_size).astype(np.int64), 0, res - 1)
+    ids = (coords * strides).sum(axis=-1)
+    active = mat != MATERIAL_INVALID
+    res_z = int(res[-1])
+    nrows0 = len(np.unique(ids[active] // res_z)) if active.any() else 1
+    num_rows_total = int(np.prod(res[:-1])) if spec.dim > 1 else 1
+    base = -(-state.capacity // block)
+    headroom = max(int(nrows0 * slack), 2048)
+    headroom = min(headroom, num_rows_total)  # can't need more rows than exist
+    return (base + headroom) * block
 
 
 def _row_offsets(spec: GridSpec) -> np.ndarray:

@@ -61,6 +61,12 @@ class SweepConfig:
     fast_math: bool = True         # pallas impl: approx reciprocals on the
     #                                viscosity-only divides (~2^-12 rel err
     #                                on a heuristic dissipation term)
+    layout: str = "linear"         # pallas impl: 'seg' partitions the sorted
+    #                                array into row-confined logical blocks
+    #                                (grid.seg_plan) so candidate windows
+    #                                shrink to exact single-column runs
+    pad_capacity: int = 0          # seg layout: logical-block capacity in
+    #                                particle slots (block_cap * block_size)
 
 
 def sweep(

@@ -30,6 +30,7 @@ Packed-row layout (transposed):
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -89,6 +90,74 @@ def repack_eos(pack: jax.Array, density: jax.Array, pressure: jax.Array) -> jax.
     )
 
 
+def _tile_math(mode, dim, h, k_sig, k6, params, fast_math,
+               ivals, jrow, dx, r2, valid, acc_in):
+    """Per-pair physics shared by the linear and seg kernels: evaluates the
+    cubic kernel and (mode='force') the fused non-pressure + pressure terms
+    on one (B, T) tile.  ``ivals``: i-side operands (see callers); ``jrow``:
+    j-window row accessor; ``dx``/``r2``/``valid`` precomputed by the
+    caller.  Returns the updated accumulator tuple."""
+    # one rsqrt replaces sqrt + divide: r_norm = r2 * rs, 1/r = rs
+    rs = jax.lax.rsqrt(jnp.maximum(r2, 1e-12))
+    r_norm = r2 * rs
+    q = r_norm * (1.0 / h)
+    inner = 6.0 * (q * q * q - q * q) + 1.0
+    fac = 1.0 - q
+    outer = 2.0 * fac * fac * fac
+    w = jnp.where(q <= 0.5, inner, outer) * k_sig
+    w = jnp.where(q <= 1.0, w, 0.0)
+
+    if mode == "density":
+        contrib = jrow(_EFFM)[None, :] * w
+        (a0,) = acc_in
+        return (a0 + jnp.sum(jnp.where(valid, contrib, 0.0), axis=1),)
+
+    rho_i = ivals["rho_i"]
+    p_rho2_i = ivals["p_rho2_i"]
+    inv_m_i = ivals["inv_m_i"]
+    vi = ivals["vi"]
+
+    # grad W = gmag * r_vec;  1/(r_norm h) = rs / h
+    mag = jnp.where(q <= 0.5, k6 * q * (3.0 * q - 2.0), -k6 * fac * fac)
+    gvalid = (r_norm > 1e-5) & (q <= 1.0)
+    gmag = jnp.where(gvalid, mag * rs * (1.0 / h), 0.0)
+
+    fl = jrow(_FL)[None, :]
+    bd = jrow(_BD)[None, :]
+    m_j = jrow(_M)[None, :]
+    rho_j = jrow(_RHO)[None, :]
+    p_rho2_j = jrow(_PRHO2)[None, :]
+    bvol_j = params.density0 * jrow(_VOL)[None, :]
+
+    dot = jnp.zeros_like(r2)
+    for a in range(dim):
+        dot = dot + (vi[a][:, None] - jrow(_V + a)[None, :]) * dx[a]
+    # both divides feed only the (heuristic) viscosity terms;
+    # fast_math uses the VPU's approximate reciprocal (~2^-12 rel)
+    if fast_math:
+        dot_neg = jnp.minimum(dot, 0.0) * pl.reciprocal(
+            r2 + 0.01 * h * h, approx=True
+        )
+        inv_rho_sum = pl.reciprocal(rho_i + rho_j, approx=True)
+    else:
+        dot_neg = jnp.minimum(dot, 0.0) / (r2 + 0.01 * h * h)
+        inv_rho_sum = 1.0 / (rho_i + rho_j)
+
+    coh_coef = -(params.surface_tension * inv_m_i) * fl * m_j * w
+    nu_f = (2.0 * params.viscosity * h * params.c_s) * inv_rho_sum
+    grad_coef = fl * m_j * nu_f * dot_neg
+    nu_b = params.boundary_sigma * h * params.c_s / (2.0 * rho_i)
+    grad_coef = grad_coef + bd * bvol_j * nu_b * dot_neg
+    p_term_f = p_rho2_i + p_rho2_j
+    grad_coef = grad_coef - fl * m_j * p_term_f
+    grad_coef = grad_coef - bd * bvol_j * p_rho2_i
+
+    coef = jnp.where(valid, grad_coef * gmag + coh_coef, 0.0)
+    return tuple(
+        acc_in[a] + jnp.sum(coef * dx[a], axis=1) for a in range(dim)
+    )
+
+
 def _sweep_kernel(
     meta_ref,       # (8, 128) i32 VMEM tile; row (blk % 8) = [wstarts|wlens]
     ipack_ref,      # (16, B) VMEM — this block's particles (transposed)
@@ -136,14 +205,17 @@ def _sweep_kernel(
         + jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
     )
 
+    ivals = {}
     if mode == "density":
         m_i = ipack_ref[_M, :]
         acc0 = (m_i * k_sig,)  # m_i * W(0); W(0) = sigma
     else:
-        rho_i = ipack_ref[_RHO, :][:, None]
-        p_rho2_i = ipack_ref[_PRHO2, :][:, None]
-        inv_m_i = (1.0 / jnp.maximum(ipack_ref[_M, :], 1e-30))[:, None]
-        vi = [ipack_ref[_V + a, :] for a in range(dim)]
+        ivals = {
+            "rho_i": ipack_ref[_RHO, :][:, None],
+            "p_rho2_i": ipack_ref[_PRHO2, :][:, None],
+            "inv_m_i": (1.0 / jnp.maximum(ipack_ref[_M, :], 1e-30))[:, None],
+            "vi": [ipack_ref[_V + a, :] for a in range(dim)],
+        }
         acc0 = tuple(
             jnp.full((block,), float(params.gravity[a]), jnp.float32)
             for a in range(dim)
@@ -197,61 +269,8 @@ def _sweep_kernel(
                 dx.append(d_a)
                 r2 = r2 + d_a * d_a
             valid = (idw >= c_lo) & (idw <= c_hi) & (g != own) & (r2 < h * h)
-
-            # one rsqrt replaces sqrt + divide: r_norm = r2 * rs, 1/r = rs
-            rs = jax.lax.rsqrt(jnp.maximum(r2, 1e-12))
-            r_norm = r2 * rs
-            q = r_norm * (1.0 / h)
-            inner = 6.0 * (q * q * q - q * q) + 1.0
-            fac = 1.0 - q
-            outer = 2.0 * fac * fac * fac
-            w = jnp.where(q <= 0.5, inner, outer) * k_sig
-            w = jnp.where(q <= 1.0, w, 0.0)
-
-            if mode == "density":
-                contrib = jrow(_EFFM)[None, :] * w
-                (a0,) = acc_in
-                return (a0 + jnp.sum(jnp.where(valid, contrib, 0.0), axis=1),)
-
-            # grad W = gmag * r_vec;  1/(r_norm h) = rs / h
-            mag = jnp.where(q <= 0.5, k6 * q * (3.0 * q - 2.0), -k6 * fac * fac)
-            gvalid = (r_norm > 1e-5) & (q <= 1.0)
-            gmag = jnp.where(gvalid, mag * rs * (1.0 / h), 0.0)
-
-            fl = jrow(_FL)[None, :]
-            bd = jrow(_BD)[None, :]
-            m_j = jrow(_M)[None, :]
-            rho_j = jrow(_RHO)[None, :]
-            p_rho2_j = jrow(_PRHO2)[None, :]
-            bvol_j = params.density0 * jrow(_VOL)[None, :]
-
-            dot = jnp.zeros((block, tile), jnp.float32)
-            for a in range(dim):
-                dot = dot + (vi[a][:, None] - jrow(_V + a)[None, :]) * dx[a]
-            # both divides feed only the (heuristic) viscosity terms;
-            # fast_math uses the VPU's approximate reciprocal (~2^-12 rel)
-            if fast_math:
-                dot_neg = jnp.minimum(dot, 0.0) * pl.reciprocal(
-                    r2 + 0.01 * h * h, approx=True
-                )
-                inv_rho_sum = pl.reciprocal(rho_i + rho_j, approx=True)
-            else:
-                dot_neg = jnp.minimum(dot, 0.0) / (r2 + 0.01 * h * h)
-                inv_rho_sum = 1.0 / (rho_i + rho_j)
-
-            coh_coef = -(params.surface_tension * inv_m_i) * fl * m_j * w
-            nu_f = (2.0 * params.viscosity * h * params.c_s) * inv_rho_sum
-            grad_coef = fl * m_j * nu_f * dot_neg
-            nu_b = params.boundary_sigma * h * params.c_s / (2.0 * rho_i)
-            grad_coef = grad_coef + bd * bvol_j * nu_b * dot_neg
-            p_term_f = p_rho2_i + p_rho2_j
-            grad_coef = grad_coef - fl * m_j * p_term_f
-            grad_coef = grad_coef - bd * bvol_j * p_rho2_i
-
-            coef = jnp.where(valid, grad_coef * gmag + coh_coef, 0.0)
-            return tuple(
-                acc_in[a] + jnp.sum(coef * dx[a], axis=1) for a in range(dim)
-            )
+            return _tile_math(mode, dim, h, k_sig, k6, params, fast_math,
+                              ivals, jrow, dx, r2, valid, acc_in)
 
         acc = jax.lax.fori_loop(0, pl.cdiv(wl, tile), tile_body, acc)
 
@@ -356,4 +375,287 @@ def force_sweep(pack, meta, spec, params, block, window, tile=256,
     """Fused non-pressure + pressure dv (gravity included)."""
     out = _run_sweep(pack, meta, "force", spec, params, block, window, tile,
                      interpret, ipack, fast_math)
+    return out[:, : spec.dim]
+
+
+# ---------------------------------------------------------------------------
+# Seg layout: row-confined logical blocks (grid.seg_plan)
+# ---------------------------------------------------------------------------
+
+_IOFF = 127  # seg meta scalar column: sharded i-side offset
+
+
+class SegMeta(NamedTuple):
+    """Seg sweep metadata (see :func:`seg_block_meta`).
+
+    ``iblk``/``wblk`` are scalar-prefetch index arrays the BlockSpec index
+    maps read, so Mosaic's own pipeline fetches every block's i-slab and
+    candidate windows (double-buffered, deduped across revisits) — no manual
+    DMA in the kernel at all."""
+
+    meta: jax.Array  # (ceil8(block_cap), 128) i32 — per-row scalars (VMEM)
+    iblk: jax.Array  # (ceil8(block_cap),) i32 — i-slab index, units of block
+    wblk: jax.Array  # (ceil8(block_cap)*rows,) i32 — fetch index of each
+    #                  2*window fetch per (block, stencil row), in units of
+    #                  ``window`` (pl.Element dim: index map scales by it)
+
+
+def seg_block_meta(
+    plan, sorted_ids: jax.Array, spec: GridSpec, block: int, window: int,
+    i_offset: jax.Array | int = 0,
+) -> tuple["SegMeta", jax.Array]:
+    """(SegMeta, need) for the seg layout.
+
+    Per logical block b (grid.seg_plan) and stencil row, the candidate
+    window [start, end) of one neighbor column is addressed as: a 2*window
+    fetch at ``wblk * window`` (BlockSpec index — units of ``window``), an
+    in-fetch 128-aligned base ``dq``, and lane bounds relative to that base.
+    meta columns per row:
+
+    - cols [0, rows):        dq — in-fetch base, multiple of 128
+    - cols [rows, 2*rows):   delta = start - (wblk*window + dq), in [0, 128);
+      lanes below delta belong to lower z-cells of the PREVIOUS grid row and
+      must be excluded in-kernel (their own stencil rows cover them)
+    - cols [2*rows, 3*rows): len = end - (wblk*window + dq); lanes at/after
+      it likewise belong to the next row / padding
+    - cols [3*rows, 4*rows): g0 = wblk*window + dq — global j index of the
+      base lane (self-pair exclusion)
+    - col 127: i_offset (sharded halo-extended i side; 0 single-device)
+
+    ``need`` = longest 128-quantised window any block requires; compared
+    against ``window`` by SolverBase.run after every dispatch (``need >
+    window`` means the far end of some column was clipped this step).
+    """
+    n = sorted_ids.shape[0]
+    window = min(window, n)  # must mirror _run_sweep_seg's effective window
+    rows = spec.num_rows
+    res = np.asarray(spec.res)
+    strides = np.asarray(spec.strides)
+    res_z = int(res[-1])
+    offsets = _row_offsets(spec)
+
+    r = plan.row_of
+    lead = []
+    rem = r
+    for a in range(spec.dim - 1):
+        ls = int(strides[a]) // res_z  # row-space stride of axis a
+        lead.append(rem // ls)
+        rem = rem % ls
+    z_lo = jnp.maximum(plan.z_first - 1, 0)
+    z_hi = jnp.minimum(plan.z_last + 1, res_z - 1)
+    act = plan.seg_len > 0
+
+    q_lo, q_hi = [], []
+    for o in offsets:
+        valid = act
+        base = jnp.zeros_like(r)
+        for a in range(spec.dim - 1):
+            nb = lead[a] + int(o[a])
+            valid = valid & (nb >= 0) & (nb < int(res[a]))
+            base = base + jnp.clip(nb, 0, int(res[a] - 1)) * int(strides[a])
+        q_lo.append(jnp.where(valid, base + z_lo, spec.num_cells))
+        q_hi.append(jnp.where(valid, base + z_hi, -1))
+    q_lo = jnp.stack(q_lo, axis=1)  # (block_cap, rows)
+    q_hi = jnp.stack(q_hi, axis=1)
+    starts = jnp.searchsorted(
+        sorted_ids, q_lo.reshape(-1).astype(sorted_ids.dtype), side="left"
+    ).reshape(q_lo.shape).astype(jnp.int32)
+    ends = jnp.searchsorted(
+        sorted_ids, (q_hi + 1).reshape(-1).astype(sorted_ids.dtype), side="left"
+    ).reshape(q_hi.shape).astype(jnp.int32)
+
+    ws128 = (starts // _LANE) * _LANE  # floor128(start): in-fetch base
+    need = jnp.max(jnp.maximum(ends - ws128, 0))
+    # fetch index in units of ``window``; the index map multiplies by the
+    # static window so Mosaic can prove the element offset is lane-aligned
+    wblk = ws128 // window
+    dq = ws128 - wblk * window  # multiple of 128, in [0, window)
+    delta = starts - ws128      # [0, 128)
+    lens = jnp.clip(ends - ws128, 0, 2 * window - dq)  # stay inside the fetch
+
+    block_cap = plan.seg_start.shape[0]
+    meta = jnp.zeros((block_cap, 128), jnp.int32)
+    meta = (
+        meta.at[:, 0:rows].set(dq)
+        .at[:, rows : 2 * rows].set(delta)
+        .at[:, 2 * rows : 3 * rows].set(lens)
+        .at[:, 3 * rows : 4 * rows].set(ws128)
+        .at[:, _IOFF].set(jnp.asarray(i_offset, jnp.int32))
+    )
+    nb8 = int(-(-block_cap // 8) * 8)
+    meta = jnp.pad(meta, ((0, nb8 - block_cap), (0, 0)))
+    iblk = jnp.pad(plan.seg_start // block, (0, nb8 - block_cap))
+    wblk = jnp.pad(wblk, ((0, nb8 - block_cap), (0, 0))).reshape(-1)
+    return SegMeta(meta=meta, iblk=iblk, wblk=wblk), need
+
+
+def _seg_sweep_kernel(
+    iblk_ref,       # (ceil8(block_cap),) i32 SMEM — i-slab indices (prefetch)
+    wblk_ref,       # (ceil8(block_cap)*rows,) i32 SMEM — window fetch indices
+    meta_ref,       # (8, 128) i32 VMEM tile; row (blk % 8), see seg_block_meta
+    ipack_ref,      # (16, B) VMEM — this block's i-slab (pipelined by Mosaic
+    #                 via the iblk scalar-prefetch index map)
+    *win_and_out,   # rows x (16, 2W) VMEM window fetches, then out (B, 8)
+    mode: str,
+    spec: GridSpec,
+    params: SolverParams,
+    block: int,
+    window: int,
+    tile: int,
+    fast_math: bool = True,
+):
+    """Seg-layout sweep: logical blocks confined to one grid row, windows =
+    exact single-column [z_first-1, z_last+1] runs.  Membership is decided
+    by ``r2 < h^2`` alone (plus the window bounds): within one column, any
+    particle outside a given i's z range is >= one full cell away in z, and
+    different stencil rows read different columns so no pair repeats.
+
+    All operands arrive through scalar-prefetch-indexed BlockSpecs (the
+    block-sparse kernel pattern): Mosaic's pipeline prefetches the i-slab
+    and the 9 (3D) window fetches for block k+1 while block k computes, and
+    skips re-fetching windows whose index repeats across consecutive blocks
+    (adjacent blocks of one grid row share neighbor columns).  The kernel
+    body is pure compute — no manual DMA, no conditionals.
+
+    Overlap/overhang i-lanes (neighboring rows' particles at the block's
+    edges) compute garbage that the caller's back map discards."""
+    rows = spec.num_rows
+    win_refs = win_and_out[:rows]
+    out_ref = win_and_out[rows]
+    dim = spec.dim
+    h = params.support_length
+    k_sig = cubic_kernel_sigma(dim, h)
+    k6 = 6.0 * k_sig
+
+    blk = pl.program_id(0)
+    mrow = jax.lax.rem(blk, 8)
+    i_off = meta_ref[mrow, _IOFF]
+
+    irow = lambda rr: ipack_ref[rr, :]  # (B,)
+    xi = [irow(_X + a) for a in range(dim)]
+    # own index in j-array coordinates: compact position of each i lane
+    own = (
+        i_off + iblk_ref[blk] * block
+        + jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
+    )
+
+    ivals = {}
+    if mode == "density":
+        acc0 = (irow(_M) * k_sig,)  # m_i * W(0); W(0) = sigma
+    else:
+        ivals = {
+            "rho_i": irow(_RHO)[:, None],
+            "p_rho2_i": irow(_PRHO2)[:, None],
+            "inv_m_i": (1.0 / jnp.maximum(irow(_M), 1e-30))[:, None],
+            "vi": [irow(_V + a) for a in range(dim)],
+        }
+        acc0 = tuple(
+            jnp.full((block,), float(params.gravity[a]), jnp.float32)
+            for a in range(dim)
+        )
+
+    acc = acc0
+    for row in range(rows):  # static unroll: 9 (3D) / 3 (2D) rows
+        dq = pl.multiple_of(meta_ref[mrow, row], _LANE)  # in-fetch base
+        delta = meta_ref[mrow, rows + row]
+        wl = meta_ref[mrow, 2 * rows + row]
+        g0 = meta_ref[mrow, 3 * rows + row]
+        wref = win_refs[row]
+
+        def tile_body(t, acc_in, wref=wref, dq=dq, delta=delta, wl=wl, g0=g0):
+            jrow = lambda rr: wref[rr, pl.ds(dq + t * tile, tile)]  # (T,)
+            off = t * tile + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+            g = g0 + off
+
+            dx = []
+            r2 = jnp.zeros((block, tile), jnp.float32)
+            for a in range(dim):
+                d_a = xi[a][:, None] - jrow(_X + a)[None, :]  # (B, T)
+                dx.append(d_a)
+                r2 = r2 + d_a * d_a
+            # lanes below delta (quantisation spill into the previous grid
+            # row) and at/after wl (overrun into the next) belong to OTHER
+            # columns that their own stencil rows cover — exclude, else
+            # those pairs would be double-counted.
+            valid = (off >= delta) & (off < wl) & (g != own) & (r2 < h * h)
+            return _tile_math(mode, dim, h, k_sig, k6, params, fast_math,
+                              ivals, jrow, dx, r2, valid, acc_in)
+
+        acc = jax.lax.fori_loop(0, pl.cdiv(wl, tile), tile_body, acc)
+
+    for c, col in enumerate(acc):
+        out_ref[:, c] = col
+    for c in range(len(acc), out_ref.shape[1]):
+        out_ref[:, c] = jnp.zeros((block,), jnp.float32)
+
+
+def _run_sweep_seg(pack, meta: "SegMeta", mode, spec, params, block, window,
+                   tile, interpret, fast_math=True):
+    n = pack.shape[1]
+    rows = spec.num_rows
+    num_blocks = meta.meta.shape[0]  # ceil8(block_cap); padded rows no-op
+    out_cols = 8
+    # pad the j array so every indexed fetch stays in bounds: window fetches
+    # read [wblk*W, wblk*W + 2W) with wblk <= ceil(n/W) - 1, i-slabs read
+    # [iblk*block, +block) with iblk <= floor((n-1)/block)
+    w_eff = min(window, n)
+    padded = (-(-n // w_eff) + 1) * w_eff
+    pack_j = jnp.pad(pack, ((0, 0), (0, padded - n)))
+    kern = functools.partial(
+        _seg_sweep_kernel,
+        mode=mode, spec=spec, params=params,
+        block=block, window=w_eff, tile=tile,
+        fast_math=fast_math and not interpret,
+    )
+    # dim 1 uses Element indexing: the index map returns the window-aligned
+    # ELEMENT start of the 2W fetch (overlapping fetches with stride W can't
+    # be expressed in Blocked units of 2W)
+    win_spec = [
+        pl.BlockSpec(
+            (pl.Element(F_ROWS), pl.Element(2 * w_eff)),
+            functools.partial(
+                lambda k, iblk, wblk, row: (0, wblk[k * rows + row] * w_eff),
+                row=row,
+            ),
+            memory_space=pltpu.VMEM,
+        )
+        for row in range(rows)
+    ]
+    out = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(num_blocks,),
+            in_specs=[
+                pl.BlockSpec((8, 128), lambda k, iblk, wblk: (k // 8, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((F_ROWS, block),
+                             lambda k, iblk, wblk: (0, iblk[k]),
+                             memory_space=pltpu.VMEM),
+                *win_spec,
+            ],
+            out_specs=pl.BlockSpec((block, out_cols),
+                                   lambda k, iblk, wblk: (k, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((num_blocks * block, out_cols), jnp.float32),
+        interpret=interpret,
+    )(meta.iblk, meta.wblk, meta.meta, pack_j, *([pack_j] * rows))
+    return out
+
+
+def density_sweep_seg(pack, meta: "SegMeta", spec, params, block, window,
+                      tile=256, interpret=False, fast_math=True):
+    """Seg-layout density sweep; output in block-slot space
+    (block_cap * block,) — gather back via SegPlan.back_idx."""
+    out = _run_sweep_seg(pack, meta, "density", spec, params,
+                         block, window, tile, interpret, fast_math)
+    return out[:, 0]
+
+
+def force_sweep_seg(pack, meta: "SegMeta", spec, params, block, window,
+                    tile=256, interpret=False, fast_math=True):
+    """Seg-layout fused force sweep; output in block-slot space."""
+    out = _run_sweep_seg(pack, meta, "force", spec, params,
+                         block, window, tile, interpret, fast_math)
     return out[:, : spec.dim]

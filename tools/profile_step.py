@@ -40,11 +40,16 @@ def main():
     ap.add_argument("--block", type=int, default=None)
     ap.add_argument("--tile", type=int, default=None)
     ap.add_argument("--window", type=int, default=None)
+    ap.add_argument("--layout", choices=["linear", "seg"], default=None)
+    ap.add_argument("--settle", type=int, default=50,
+                    help="steps to run before measuring (mid-collapse state)")
     args = ap.parse_args()
 
     scene = tt.load_scene(args.scene)
     state = tt.build_state(scene)
     solver = tt.WCSPH(scene)
+    if args.layout:
+        solver.pallas_layout = args.layout
     state = solver.bind(state)
     scfg = solver.sweep_cfg
     if args.block or args.tile or args.window:
@@ -61,8 +66,8 @@ def main():
     print(f"n={n}  impl={scfg.impl} block={scfg.block_size} "
           f"window={scfg.window_cap} tile={scfg.tile} cap={state.capacity}")
 
-    # settle 50 steps so the measured configuration is mid-collapse
-    state = solver.rollout(state, 50)
+    # settle so the measured configuration is mid-collapse
+    state = solver.rollout(state, args.settle)
     jax.block_until_ready(state.x)
 
     full = jax.jit(solver._step_fn)
@@ -72,15 +77,8 @@ def main():
     t_sort = timeit(sort, (state,), args.reps)
     st_s, ids, _ = sort(state)
 
-    meta_fn = jax.jit(
-        lambda st, ids: ps.block_meta(
-            ids, gridops.cell_coords(st.x, spec), spec,
-            scfg.block_size, scfg.window_cap,
-        )
-    )
-    t_meta = timeit(meta_fn, (st_s, ids), args.reps)
-    meta, _ = meta_fn(st_s, ids)
-
+    seg = scfg.layout == "seg"
+    extra = {}
     pack_fn = jax.jit(
         lambda st, ids: ps.pack_state(
             st.x, st.v, st.density, st.pressure, st.mass, st.volume,
@@ -89,35 +87,67 @@ def main():
     )
     t_pack = timeit(pack_fn, (st_s, ids), args.reps)
     pack = pack_fn(st_s, ids)
-
-    dens = jax.jit(
-        lambda pack, meta: ps.density_sweep(
+    if seg:
+        block_cap = scfg.pad_capacity // scfg.block_size
+        plan_fn = jax.jit(
+            lambda ids: gridops.seg_plan(ids, spec, scfg.block_size, block_cap)
+        )
+        extra["plan"] = timeit(plan_fn, (ids,), args.reps)
+        plan = plan_fn(ids)
+        meta_fn = jax.jit(
+            lambda plan, ids: ps.seg_block_meta(
+                plan, ids, spec, scfg.block_size, scfg.window_cap
+            )
+        )
+        t_meta = timeit(meta_fn, (plan, ids), args.reps)
+        meta, _ = meta_fn(plan, ids)
+        back_fn = jax.jit(lambda a, plan: a[plan.back_idx])
+        extra["back-gather"] = timeit(
+            back_fn,
+            (jnp.zeros((meta.meta.shape[0] * scfg.block_size,), jnp.float32),
+             plan),
+            args.reps,
+        )
+        dens_fn = lambda pack, meta: ps.density_sweep_seg(
             pack, meta, spec, params, scfg.block_size, scfg.window_cap,
             tile=scfg.tile, fast_math=scfg.fast_math,
         )
-    )
+        force_fn = lambda pack, meta: ps.force_sweep_seg(
+            pack, meta, spec, params, scfg.block_size, scfg.window_cap,
+            tile=scfg.tile, fast_math=scfg.fast_math,
+        )
+    else:
+        meta_fn = jax.jit(
+            lambda st, ids: ps.block_meta(
+                ids, gridops.cell_coords(st.x, spec), spec,
+                scfg.block_size, scfg.window_cap,
+            )
+        )
+        t_meta = timeit(meta_fn, (st_s, ids), args.reps)
+        meta, _ = meta_fn(st_s, ids)
+        dens_fn = lambda pack, meta: ps.density_sweep(
+            pack, meta, spec, params, scfg.block_size, scfg.window_cap,
+            tile=scfg.tile, fast_math=scfg.fast_math,
+        )
+        force_fn = lambda pack, meta: ps.force_sweep(
+            pack, meta, spec, params, scfg.block_size, scfg.window_cap,
+            tile=scfg.tile, fast_math=scfg.fast_math,
+        )
+
+    dens = jax.jit(dens_fn)
     t_dens = timeit(dens, (pack, meta), args.reps)
 
-    force = jax.jit(
-        lambda pack, meta: ps.force_sweep(
-            pack, meta, spec, params, scfg.block_size, scfg.window_cap,
-            tile=scfg.tile, fast_math=scfg.fast_math,
-        )
-    )
+    force = jax.jit(force_fn)
     t_force = timeit(force, (pack, meta), args.reps)
 
-    eos = jax.jit(
-        lambda st, rho: F.compute_pressures(
-            jnp.where(st.fluid_mask, rho, st.density), params
-        )
-    )
-    rho = dens(pack, meta)
-    t_eos = timeit(eos, (st_s, rho), args.reps)
+    eos = jax.jit(lambda rho: F.compute_pressures(rho, params))
+    rho = dens(pack, meta)[: st_s.capacity]
+    t_eos = timeit(eos, (rho,), args.reps)
 
     adv = jax.jit(
         lambda st, dv: F.enforce_domain_boundary(F.advect(st, dv, params), params)
     )
-    dv = force(pack, meta)
+    dv = force(pack, meta)[: st_s.capacity]
     t_adv = timeit(adv, (st_s, dv), args.reps)
 
     t_repack = timeit(
@@ -126,7 +156,7 @@ def main():
 
     occ = int(jax.device_get(state.occ_window))
     parts = {
-        "sort": t_sort, "meta": t_meta, "pack": t_pack,
+        "sort": t_sort, **extra, "meta": t_meta, "pack": t_pack,
         "density": t_dens, "repack": t_repack, "force": t_force,
         "eos": t_eos, "advect+clamp": t_adv,
     }
