@@ -29,7 +29,14 @@ def main() -> int:
     ap.add_argument("--substeps", type=int, default=5,
                     help="solver steps per frame (reference runs 5, main_3d.py:31)")
     ap.add_argument("--solver", choices=["wcsph", "legacy"], default="wcsph")
-    ap.add_argument("--compat", choices=["reference", "config"], default="reference")
+    ap.add_argument("--compat",
+                    choices=["reference", "config", "reference-exact"],
+                    default="reference",
+                    help="'reference' = intended equations with the "
+                         "reference's constants; 'config' honors scene keys "
+                         "the reference ignores; 'reference-exact' replays "
+                         "the reference's shipped bugs (zero pressure in V2, "
+                         "no V1 domain clamp) for divergence measurement")
     ap.add_argument("--out", default=None, help="frame output directory")
     ap.add_argument("--format", choices=["npz", "png"], default="npz")
     ap.add_argument("--metrics-every", type=int, default=10)

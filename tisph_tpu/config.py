@@ -184,6 +184,10 @@ class SolverParams:
     boundary_sigma: float = 0.08
     collision_factor: float = 0.5
     c_s: float = 100.0
+    # compat="reference-exact": reproduce the reference's *bugs* bit-for-bit
+    # instead of the intended equations (see WCSPH/WCSPHLegacy docstrings);
+    # used to measure intended-vs-shipped divergence, not for production.
+    reference_exact: bool = False
     gravity: tuple[float, ...] = (0.0, -9.81, 0.0)
     support_length: float = 0.04
     particle_radius: float = 0.01
@@ -199,7 +203,7 @@ class SolverParams:
         reference solvers; ``compat="config"`` honors the scene's declared
         (but reference-ignored) keys, falling back to the same defaults.
         """
-        if compat not in ("reference", "config"):
+        if compat not in ("reference", "config", "reference-exact"):
             raise ValueError(f"unknown compat preset: {compat!r}")
         use_cfg = compat == "config"
 
@@ -215,6 +219,7 @@ class SolverParams:
             viscosity=pick(scene.viscosity, 0.05),
             surface_tension=pick(scene.surface_tension, 0.01),
             boundary_sigma=0.08,
+            reference_exact=compat == "reference-exact",
             collision_factor=pick(scene.collision_factor, 0.5),
             c_s=scene.c_s,
             gravity=tuple(scene.gravitation[: scene.dim]),

@@ -41,8 +41,10 @@ class WCSPH(SolverBase):
             volume = F.compute_boundary_volumes(state, nd, spec, params, scfg)
             state = dataclasses.replace(state, volume=volume)
 
-        # 3-4. density + EOS
+        # 3-4. density + EOS (reference-exact: overwrite with the self term,
+        # wcsphv2.py:29-34 — see F.apply_density_mode)
         density = F.compute_densities(state, nd, spec, params, scfg)
+        density = F.apply_density_mode(density, state, params)
         rho, pressure = F.compute_pressures(density, params)
         state = dataclasses.replace(state, density=rho, pressure=pressure)
 
@@ -96,6 +98,7 @@ class WCSPH(SolverBase):
             tile=scfg.tile, interpret=scfg.interpret, fast_math=scfg.fast_math,
         )
         rho = jnp.where(state.fluid_mask, rho, state.density)
+        rho = F.apply_density_mode(rho, state, params)
         rho, pressure = F.compute_pressures(rho, params)
         state = dataclasses.replace(state, density=rho, pressure=pressure)
         pack = ps.repack_eos(pack, rho, pressure)
@@ -160,6 +163,7 @@ class WCSPH(SolverBase):
         )
         keep = plan.back_valid & state.fluid_mask
         rho = jnp.where(keep, rho_blk[plan.back_idx], state.density)
+        rho = F.apply_density_mode(rho, state, params)
         rho, pressure = F.compute_pressures(rho, params)
         state = dataclasses.replace(state, density=rho, pressure=pressure)
         pack = ps.repack_eos(pack, rho, pressure)

@@ -96,6 +96,12 @@ class WCSPHLegacy(SolverBase):
         d_velocity = jnp.where(state.fluid_mask[:, None], acc["dv"], 0.0)
 
         state = F.advect(state, d_velocity, params)
+        if params.reference_exact:
+            # sph_base.py:166 is `self.enforce_boundary_3D` WITHOUT the call
+            # parens — a bare attribute access: the shipped V1 never enforces
+            # the domain box at all (fluid is contained only by boundary
+            # particles, and falls forever where there are none).
+            return state
         return self._enforce_boundary_v1(state)
 
     def _enforce_boundary_v1(self, state: SimState) -> SimState:

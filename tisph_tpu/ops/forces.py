@@ -282,6 +282,25 @@ def compute_pressures(
     return tait_pressure(density, params.density0, params.stiffness, params.exponent)
 
 
+def apply_density_mode(
+    rho: jax.Array, state: SimState, params: SolverParams
+) -> jax.Array:
+    """``reference_exact`` V2 density bug: the reference's neighbor
+    accumulation lands in the aliased field element and is then OVERWRITTEN
+    with the self term alone (wcsphv2.py:29-34 — ``density = m_i W(0)``
+    before the loop, ``ps.density[p_i] = density`` after it).  Fluid density
+    is therefore the constant m_i W(0) ~= 318 kg/m^3 every step; the EOS
+    clamp (wcsphv2.py:45) then pins it to rho0 and pressure to exactly 0 —
+    the shipped WCSPHV2 runs with NO pressure forces.  The intended mode
+    returns the summation unchanged."""
+    if not params.reference_exact:
+        return rho
+    from tisph_tpu.ops.kernels import cubic_kernel_sigma
+
+    w0 = cubic_kernel_sigma(params.dim, params.support_length)
+    return jnp.where(state.fluid_mask, state.mass * w0, rho)
+
+
 def compute_forces(
     state: SimState,
     nd: NeighborData,
