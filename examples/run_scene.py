@@ -106,11 +106,7 @@ def main() -> int:
         if rigid is not None:
             state, rigid = solver.rollout_coupled(state, rigid, args.substeps)
         elif emitters:
-            from tisph_tpu.geometry.emitter import maybe_emit
-            for _ in range(args.substeps):
-                for i, es in enumerate(emitters):
-                    state, emitters[i] = maybe_emit(state, es, scene.particle_volume0)
-                state = solver.step(state)
+            state, emitters = solver.rollout_emit(state, emitters, args.substeps)
         else:
             state = solver.rollout(state, args.substeps)
         if exporter is not None:

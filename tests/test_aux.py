@@ -179,6 +179,43 @@ class TestEmitter:
         assert np.isfinite(np.asarray(out.x)[act]).all()
         assert int(es.emitted) > 0
 
+    def test_rollout_emit_matches_per_step_loop(self):
+        """The fused single-dispatch rollout (SolverBase.rollout_emit) must
+        reproduce the per-step host loop exactly."""
+        from tisph_tpu.geometry.emitter import make_emitter_state, maybe_emit
+
+        raw = {
+            "configuration": {
+                "dim": 2, "domainStart": [0, 0], "domainEnd": [2, 2],
+                "particleRadius": 0.02, "density0": 1000,
+                "gravitation": [0, -9.81], "c_s": 50.0,
+            },
+            "fluidBlocks": [
+                {"start": [0.5, 0.3], "end": [0.9, 0.6], "velocity": [0, 0],
+                 "density": 1000.0, "color": [50, 100, 200]}
+            ],
+            "emitters": [
+                {"start": [1.0, 1.5], "end": [1.08, 1.5001],
+                 "velocity": [0.0, -1.0], "interval": 7, "maxParticles": 40}
+            ],
+        }
+        scene = tt.scene_from_dict(raw)
+        solver = tt.WCSPH(scene)
+        state0 = solver.bind(tt.build_state(scene, extra_capacity=128))
+        es0 = make_emitter_state(scene.emitters[0], scene)
+
+        sa, ea = state0, es0
+        for _ in range(20):
+            sa, ea = maybe_emit(sa, ea, scene.particle_volume0)
+            sa = solver.step(sa)
+        sb, ems = solver.rollout_emit(state0, [es0], 20)
+        eb = ems[0]
+        assert int(sa.num_active) == int(sb.num_active)
+        assert int(ea.emitted) == int(eb.emitted)
+        np.testing.assert_allclose(
+            np.asarray(sa.x), np.asarray(sb.x), atol=1e-6
+        )
+
 
 def test_domain_wireframe():
     from tisph_tpu.utils.lines import domain_wireframe

@@ -100,3 +100,57 @@ def test_mesh_transform_pipeline():
     # after x-scale 2 and 90deg z-rotation, extent is 1 x 2 x 1
     np.testing.assert_allclose(hi - lo, [1, 2, 1], atol=1e-9)
     assert lo[0] > 4.0
+
+
+def test_voxelize_open_mesh_leak_recovery():
+    """A sphere with a hole punched in it leaks the exterior flood; the
+    voxelizer must detect the leak and recover the interior by closing."""
+    from tisph_tpu.geometry.mesh import TriMesh
+
+    mesh = sphere_mesh([0.5, 0.5, 0.5], 0.2, subdiv=3)
+    # punch a hole: drop every face whose centroid is in the +z polar cap
+    cent = mesh.vertices[mesh.faces].mean(axis=1)
+    keep = cent[:, 2] < 0.5 + 0.19
+    open_mesh = TriMesh(mesh.vertices.copy(), mesh.faces[keep].copy())
+    assert keep.sum() < len(mesh.faces)  # the hole exists
+
+    pitch = 0.04
+    filled, origin = voxelize_solid(open_mesh, pitch)
+    cidx = np.floor((np.array([0.5, 0.5, 0.5]) - origin) / pitch).astype(int)
+    assert filled[tuple(cidx)]  # interior recovered despite the hole
+    expected = (4 / 3) * np.pi * 0.2**3 / pitch**3
+    assert filled.sum() > 0.5 * expected
+
+
+def test_dragon_mesh_ingestion():
+    """Reference-scale scanned mesh (25k vertices, 50k faces — the asset the
+    reference voxelizes at partice_systemv4.py:259-277): loads, voxelizes
+    with a real interior, and lands inside its own bounds."""
+    mesh = load_obj("scenes/assets/Dragon_50k.obj")
+    assert mesh.vertices.shape[0] >= 25000
+    assert mesh.faces.shape[0] >= 50000
+    pitch = float((mesh.bounds[1] - mesh.bounds[0]).max()) / 50
+    filled, origin = voxelize_solid(mesh, pitch)
+    pts = voxelize_points(mesh, pitch)
+    # shell alone would be ~O(surface/pitch^2) ~ 4k voxels; a filled body is
+    # far denser.  Interior must be nonempty (no leak).
+    from tisph_tpu.geometry.voxelize import _rasterize_surface
+    surf = _rasterize_surface(mesh, origin, pitch, filled.shape)
+    assert filled.sum() > surf.sum()  # interior recovered
+    lo, hi = mesh.bounds
+    assert (pts.min(axis=0) >= lo - 2 * pitch).all()
+    assert (pts.max(axis=0) <= hi + 2 * pitch).all()
+
+
+def test_dragon_scene_builds():
+    """The 500k bench scene ingests the Dragon as boundary particles."""
+    import tisph_tpu as tt
+
+    scene = tt.load_scene("scenes/bench_3d_mesh_500k.json")
+    from tisph_tpu.geometry.builder import load_rigid_points
+
+    pts = load_rigid_points(scene.rigid_bodies[0], scene)
+    assert pts.shape[0] > 10000  # dragon at diameter pitch ~= 16k seeds
+    # inside the translated dragon bbox, which sits inside the domain
+    assert (pts[:, 0] > 1.5).all() and (pts[:, 0] < 3.2).all()
+    assert (pts[:, 1] > -0.05).all() and (pts[:, 1] < 1.0).all()

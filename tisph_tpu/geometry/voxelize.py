@@ -52,14 +52,9 @@ def _rasterize_surface(mesh: TriMesh, origin: np.ndarray, pitch: float, shape: t
     return occ
 
 
-def voxelize_solid(mesh: TriMesh, pitch: float) -> tuple[np.ndarray, np.ndarray]:
-    """Voxelize a watertight mesh; returns (filled_mask, origin)."""
-    lo, hi = mesh.bounds
-    # One-voxel margin so the exterior flood fill can wrap around the mesh.
-    origin = lo - pitch
-    shape = tuple(int(np.ceil((h - o) / pitch)) + 2 for o, h in zip(origin, hi))
-    surface = _rasterize_surface(mesh, origin, pitch, shape)
-    # Exterior = the complement component touching the grid boundary.
+def _flood_fill(surface: np.ndarray) -> np.ndarray:
+    """filled = surface | interior, where exterior is the complement
+    component touching the grid boundary (6-connectivity)."""
     labels, _ = ndimage.label(~surface, structure=ndimage.generate_binary_structure(3, 1))
     border_labels = np.unique(
         np.concatenate(
@@ -70,7 +65,42 @@ def voxelize_solid(mesh: TriMesh, pitch: float) -> tuple[np.ndarray, np.ndarray]
     )
     border_labels = border_labels[border_labels != 0]
     exterior = np.isin(labels, border_labels)
-    filled = surface | ~exterior
+    return surface | ~exterior
+
+
+def voxelize_solid(
+    mesh: TriMesh, pitch: float, max_close_iters: int = 3
+) -> tuple[np.ndarray, np.ndarray]:
+    """Voxelize a mesh; returns (filled_mask, origin).
+
+    Robust to non-watertight input (scanned meshes like Dragon_50k.obj have
+    non-manifold edges; worse ones have open boundary loops): if the
+    exterior flood LEAKS through a hole, the fill recovers no interior at
+    all — detected as interior == 0 on a mesh whose bounding box clearly
+    encloses volume — and the surface shell is morphologically closed
+    (dilate+erode, growing radius) until an interior appears.  trimesh's
+    ``.fill()`` (the reference's path, partice_systemv4.py:276) silently
+    returns the leaked shell instead."""
+    lo, hi = mesh.bounds
+    # One-voxel margin so the exterior flood fill can wrap around the mesh.
+    origin = lo - pitch
+    shape = tuple(int(np.ceil((h - o) / pitch)) + 2 for o, h in zip(origin, hi))
+    surface = _rasterize_surface(mesh, origin, pitch, shape)
+    filled = _flood_fill(surface)
+    interior = int(filled.sum()) - int(surface.sum())
+    if interior == 0 and min(shape) >= 6:
+        # leak: close holes on a padded copy (dilation must not touch the
+        # array border, or the exterior seed itself gets walled off)
+        for it in range(1, max_close_iters + 1):
+            closed = ndimage.binary_closing(
+                np.pad(surface, it + 1), iterations=it
+            )[tuple([slice(it + 1, -(it + 1))] * 3)]
+            filled_c = _flood_fill(closed)
+            if int(filled_c.sum()) > int(closed.sum()):
+                # keep the original (un-dilated) shell; add the recovered
+                # interior so seeded particles don't bulge past the surface
+                filled = surface | (filled_c & ~closed)
+                break
     return filled, origin
 
 
