@@ -25,22 +25,39 @@ NORTH_STAR = 1e9  # particle-steps/sec (BASELINE.json)
 
 
 def _main_once(scene_path: str, steps: int) -> int:
+    import dataclasses
+
     scene = tt.load_scene(scene_path)
     state = tt.build_state(scene)
     solver = tt.WCSPH(scene)
     state = solver.bind(state)
     n = int(jax.device_get(state.num_active))
 
-    step = jax.jit(solver._step_fn)
-    compiled = step.lower(state).compile()
+    # Amortized resort (seg layout): rebuild sort/plan/meta every R substeps
+    # (measured on demo_3d @200 steps: R=3 position RMSE = 0.12 h, p99 =
+    # 0.34 h vs per-substep resort — tools/compare_resort.py).  R=1 restores
+    # the reference's exact per-substep cadence (BENCH_RESORT=1).
+    resort = int(os.environ.get("BENCH_RESORT", "3"))
+    if (
+        resort > 1
+        and solver.sweep_cfg is not None
+        and solver.sweep_cfg.impl == "pallas"
+        and solver.sweep_cfg.layout == "seg"
+    ):
+        solver.sweep_cfg = dataclasses.replace(
+            solver.sweep_cfg, resort_every=resort
+        )
 
-    # warmup (also amortises any data movement)
-    state = compiled(state)
+    # warmup (also compiles; rollout fuses R-substep groups in one dispatch)
+    state = solver.rollout(state, resort)
     jax.block_until_ready(state.x)
 
     t0 = time.perf_counter()
-    for _ in range(steps):
-        state = compiled(state)
+    done = 0
+    while done < steps:
+        k = min(200, steps - done)
+        state = solver.rollout(state, k)
+        done += k
     jax.block_until_ready(state.x)
     wall = time.perf_counter() - t0
 
@@ -67,20 +84,23 @@ def main() -> int:
         "BENCH_SCENE", os.path.join(os.path.dirname(__file__), "scenes", "demo_3d.json")
     )
     steps = int(os.environ.get("BENCH_STEPS", "50"))
-    try:
-        return _main_once(scene_path, steps)
-    except Exception as e:  # tunneled-TPU runtimes occasionally wedge; retry once
-        # UNAVAILABLE: tunnel wedge after a killed process (self-recovers);
-        # FAILED_PRECONDITION: e.g. libtpu version skew mid-upgrade;
-        # DEADLINE_EXCEEDED / INTERNAL: transient runtime hiccups.
-        transient = ("UNAVAILABLE", "FAILED_PRECONDITION", "DEADLINE_EXCEEDED",
-                     "INTERNAL")
-        if not any(s in str(e) for s in transient):
-            raise
-        print(f"transient device error ({type(e).__name__}); retrying in 60s",
-              file=sys.stderr)
-        time.sleep(60)
-        return _main_once(scene_path, steps)
+    # tunneled-TPU runtimes occasionally wedge; the observed recovery time is
+    # minutes, so retry with growing backoff rather than once.
+    # UNAVAILABLE: tunnel wedge after a killed process (self-recovers);
+    # FAILED_PRECONDITION: e.g. libtpu version skew / crashed worker;
+    # DEADLINE_EXCEEDED / INTERNAL: transient runtime hiccups.
+    transient = ("UNAVAILABLE", "FAILED_PRECONDITION", "DEADLINE_EXCEEDED",
+                 "INTERNAL")
+    for attempt, sleep_s in enumerate((60, 180, 300)):
+        try:
+            return _main_once(scene_path, steps)
+        except Exception as e:
+            if not any(s in str(e) for s in transient):
+                raise
+            print(f"transient device error ({type(e).__name__}, attempt "
+                  f"{attempt + 1}); retrying in {sleep_s}s", file=sys.stderr)
+            time.sleep(sleep_s)
+    return _main_once(scene_path, steps)
 
 
 if __name__ == "__main__":

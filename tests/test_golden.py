@@ -1,8 +1,8 @@
-"""Golden-trajectory regression: a recorded 2D dam-break trajectory pins the
-physics across refactors (beyond the live fp64 oracle gate, this catches
-unintended behavior drift in ANY component of the step).
+"""Golden-trajectory regression: recorded 2D and 3D dam-break trajectories
+pin the physics across refactors (beyond the live fp64 oracle gate, this
+catches unintended behavior drift in ANY component of the step).
 
-The golden file is (re)generated with:
+The golden files are (re)generated with:
     python tests/test_golden.py --regenerate
 """
 
@@ -11,12 +11,13 @@ import sys
 
 import numpy as np
 import jax
+import pytest
 
 import tisph_tpu as tt
 
-GOLDEN = os.path.join(os.path.dirname(__file__), "golden_2d_dam_break.npz")
+HERE = os.path.dirname(__file__)
 
-SCENE = {
+SCENE_2D = {
     "configuration": {
         "dim": 2,
         "domainStart": [0.0, 0.0],
@@ -35,15 +36,44 @@ SCENE = {
     ],
     "rigidBodies": [],
 }
-STEPS = 40
+
+SCENE_3D = {
+    "configuration": {
+        "dim": 3,
+        "domainStart": [0.0, 0.0, 0.0],
+        "domainEnd": [1.6, 1.0, 1.0],
+        "particleRadius": 0.025,
+        "density0": 1000,
+        "gravitation": [0.0, -9.81, 0.0],
+        "c_s": 50.0,
+    },
+    "boundaryBlocks": [
+        {"start": [0.7, 0.05, 0.3], "end": [0.9, 0.25, 0.7]}
+    ],
+    "fluidBlocks": [
+        {"start": [0.08, 0.08, 0.08], "end": [0.45, 0.5, 0.5],
+         "velocity": [1.0, 0.0, 0.0],
+         "density": 1000.0, "color": [50, 100, 200]}
+    ],
+    "rigidBodies": [],
+}
+
+CASES = {
+    "2d_dam_break": (SCENE_2D, 40),
+    "3d_dam_break": (SCENE_3D, 30),
+}
 
 
-def _run():
-    scene = tt.scene_from_dict(SCENE)
+def _golden_path(name):
+    return os.path.join(HERE, f"golden_{name}.npz")
+
+
+def _run(scene_dict, steps):
+    scene = tt.scene_from_dict(scene_dict)
     state = tt.build_state(scene)
     solver = tt.WCSPH(scene)
     state = solver.bind(state)
-    state = solver.rollout(state, STEPS)
+    state = solver.rollout(state, steps)
     out = jax.device_get(state)
     act = np.asarray(out.material) != -1
     order = np.lexsort(np.asarray(out.x)[act].T[::-1])
@@ -55,10 +85,12 @@ def _run():
     }
 
 
-def test_golden_trajectory():
-    assert os.path.exists(GOLDEN), "golden file missing — regenerate"
-    got = _run()
-    with np.load(GOLDEN) as z:
+@pytest.mark.parametrize("name", list(CASES))
+def test_golden_trajectory(name):
+    path = _golden_path(name)
+    assert os.path.exists(path), f"golden file {path} missing — regenerate"
+    got = _run(*CASES[name])
+    with np.load(path) as z:
         np.testing.assert_array_equal(got["material"], z["material"])
         # fp32 noise across compilers/platforms; positions are the gate
         np.testing.assert_allclose(got["x"], z["x"], atol=5e-5)
@@ -69,5 +101,6 @@ def test_golden_trajectory():
 if __name__ == "__main__":
     if "--regenerate" in sys.argv:
         jax.config.update("jax_platforms", "cpu")
-        np.savez_compressed(GOLDEN, **_run())
-        print(f"golden written: {GOLDEN}")
+        for name, (scene, steps) in CASES.items():
+            np.savez_compressed(_golden_path(name), **_run(scene, steps))
+            print(f"golden written: {_golden_path(name)}")

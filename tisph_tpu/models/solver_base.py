@@ -227,12 +227,35 @@ class SolverBase:
         return self._step_jit(state)
 
     def rollout(self, state: SimState, num_steps: int) -> SimState:
-        """Run ``num_steps`` steps inside one jitted fori_loop."""
+        """Run ``num_steps`` steps inside one jitted fori_loop.
+
+        With ``sweep_cfg.resort_every = R > 1`` on the pallas seg layout,
+        the sort/plan/meta rebuild runs every R substeps and the cached
+        structure is reused in between (see WCSPH._seg_apply for why that
+        is safe); the reference resorts every substep."""
         if self.spec is None:
             state = self.bind(state)
+        cfg = self.sweep_cfg
+        R = int(getattr(cfg, "resort_every", 1) or 1) if cfg is not None else 1
+        amortize = (
+            R > 1 and cfg is not None and cfg.impl == "pallas"
+            and cfg.layout == "seg" and hasattr(self, "_seg_build")
+        )
         if self._rollout_jit is None:
-            def _roll(s: SimState, n: int) -> SimState:
-                return jax.lax.fori_loop(0, n, lambda _, st: self._step_fn(st), s)
+            if amortize:
+                def _roll(s: SimState, n: int) -> SimState:
+                    def outer(i, st):
+                        st, cache = self._seg_build(st)
+                        k = jnp.minimum(R, n - i * R)
+                        return jax.lax.fori_loop(
+                            0, k, lambda _, s2: self._seg_apply(s2, cache), st
+                        )
+                    return jax.lax.fori_loop(0, -(-n // R), outer, s)
+            else:
+                def _roll(s: SimState, n: int) -> SimState:
+                    return jax.lax.fori_loop(
+                        0, n, lambda _, st: self._step_fn(st), s
+                    )
             self._rollout_jit = jax.jit(_roll, static_argnums=1)
         return self._rollout_jit(state, num_steps)
 

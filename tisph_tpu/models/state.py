@@ -62,6 +62,13 @@ class SimState:
     occ_rowpad: jax.Array = dataclasses.field(
         default_factory=lambda: np.zeros((), np.int32)
     )
+    # () i32 — sharded solver: 1 if any shard's stencil reach exceeded the
+    # halo depth on some dispatch since the last reset (parallel/domain.py
+    # folds a per-step pmax'd flag here; ShardedWCSPH.run regrows the halo
+    # when it trips).  Always 0 single-device.
+    occ_halo: jax.Array = dataclasses.field(
+        default_factory=lambda: np.zeros((), np.int32)
+    )
 
     @property
     def capacity(self) -> int:
@@ -173,4 +180,5 @@ def state_to_host(state: SimState) -> dict[str, np.ndarray]:
     n = int(host.pop("num_active"))
     host.pop("occ_window", None)  # transient diagnostics, not state
     host.pop("occ_rowpad", None)
+    host.pop("occ_halo", None)
     return {k: np.asarray(a[:n]) for k, a in host.items()} | {"num_active": np.asarray(n)}

@@ -118,11 +118,19 @@ class WCSPH(SolverBase):
         per grid row so every candidate window is the exact single-column
         [z_first-1, z_last+1] run, and sweep outputs land in block-slot
         space, gathered back via the plan's inverse map."""
+        state, cache = self._seg_build(state)
+        return self._seg_apply(state, cache)
+
+    def _seg_build(self, state: SimState):
+        """Resort + rebuild the seg neighbor structure (sort, plan, block
+        meta).  Returns (sorted_state, cache); the cache is a pytree that
+        stays valid for a few substeps of motion (see SweepConfig
+        .resort_every)."""
         import jax.numpy as jnp
 
         from tisph_tpu.ops.pallas import sweeps as ps
 
-        spec, params, scfg = self.spec, self.params, self.sweep_cfg
+        spec, scfg = self.spec, self.sweep_cfg
         block_cap = scfg.pad_capacity // scfg.block_size
 
         state, sorted_ids, _ = gridops.sort_state_by_cell(state, spec)
@@ -138,25 +146,63 @@ class WCSPH(SolverBase):
             plan, sorted_ids, spec, scfg.block_size, scfg.window_cap
         )
         state = self._track_occ(state, need)
+        return state, (plan, meta, sorted_ids)
 
-        volume = state.volume
-        if self.boundary_mode == "per_step":
-            nd = gridops.build_neighbor_data(
-                state, sorted_ids, spec,
-                dataclasses.replace(scfg, impl="blocked"),
-            )
-            volume = F.compute_boundary_volumes(
-                state, nd, spec, params, dataclasses.replace(scfg, impl="blocked")
-            )
-            state = dataclasses.replace(state, volume=volume)
+    def _seg_boundary_volume(self, state: SimState, pack, plan, meta, kw):
+        """Per-step Akinci boundary volumes on the seg pallas path
+        (sph_basev2.py:195-201, 212): bvol sweep -> V = 1/delta -> refresh
+        the volume-derived pack rows.  Returns (state, pack)."""
+        import jax.numpy as jnp
+
+        from tisph_tpu.models.state import MATERIAL_BOUNDARY, MATERIAL_FLUID
+        from tisph_tpu.ops.pallas import sweeps as ps
+
+        spec, params, scfg = self.spec, self.params, self.sweep_cfg
+        delta_blk = ps.bvol_sweep_seg(
+            pack, meta, spec, params, scfg.block_size, scfg.window_cap, **kw
+        )
+        keep = plan.back_valid & state.boundary_mask
+        delta = jnp.where(keep, delta_blk[plan.back_idx], 1.0)
+        volume = jnp.where(
+            keep, 1.0 / jnp.maximum(delta, 1e-10), state.volume
+        )
+        state = dataclasses.replace(state, volume=volume)
+        fl = (state.material == MATERIAL_FLUID).astype(jnp.float32)
+        bd = (state.material == MATERIAL_BOUNDARY).astype(jnp.float32)
+        pack = pack.at[ps._VOL, :].set(volume)
+        pack = pack.at[ps._EFFM, :].set(
+            fl * state.mass + bd * (params.density0 * volume)
+        )
+        return state, pack
+
+    def _seg_apply(self, state: SimState, cache) -> SimState:
+        """One physics step against a (possibly stale) seg structure.
+
+        The seg kernels test candidates with ``r2 < h^2`` against CURRENT
+        positions only — no sort-time cell-id test — so a cached structure
+        stays exact for every pair whose sort-time separation was under one
+        cell (= the support radius).  A pair can only be missed once
+        particles have moved enough that its sort-time distance exceeded
+        the cell while its current distance is under h; the kernel weight
+        there is O((2*delta/h)^3) — the same order as the fast_math
+        viscosity approximation for CFL-bounded motion over a few substeps
+        (measured in tests/test_seg.py::test_amortized_resort_divergence)."""
+        import jax.numpy as jnp
+
+        from tisph_tpu.ops.pallas import sweeps as ps
+
+        spec, params, scfg = self.spec, self.params, self.sweep_cfg
+        plan, meta, sorted_ids = cache
 
         pack = ps.pack_state(
             state.x, state.v, state.density, state.pressure,
-            state.mass, volume, state.material, sorted_ids, params,
+            state.mass, state.volume, state.material, sorted_ids, params,
         )
 
         kw = dict(tile=scfg.tile, interpret=scfg.interpret,
                   fast_math=scfg.fast_math)
+        if self.boundary_mode == "per_step":
+            state, pack = self._seg_boundary_volume(state, pack, plan, meta, kw)
         rho_blk = ps.density_sweep_seg(
             pack, meta, spec, params,
             scfg.block_size, scfg.window_cap, **kw

@@ -6,9 +6,9 @@ integrator (models/rigid.py).  The step state is the pair
 (the bodies move), matching the reference's per-step recompute
 (sph_basev2.py:212) which only this solver actually needs.
 
-Sweeps run on the jnp blocked path (the pallas kernels cover the two
-fluid sweeps of the static-boundary solver; coupling them is staged in
-ROADMAP.md).
+On TPU (pallas seg layout) all four sweeps — boundary volume, density,
+force, and the fluid->boundary reaction — run as row-confined seg kernels
+(_coupled_step_seg); other configurations use the jnp blocked path.
 """
 
 from __future__ import annotations
@@ -40,6 +40,12 @@ class WCSPHRigid(WCSPH):
         return make_rigid_state(state, self.scene)
 
     def _coupled_step_fn(self, carry):
+        if (
+            self.sweep_cfg is not None
+            and self.sweep_cfg.impl == "pallas"
+            and self.sweep_cfg.layout == "seg"
+        ):
+            return self._coupled_step_seg(carry)
         state, rigid = carry
         spec, params = self.spec, self.params
         scfg = self.sweep_cfg
@@ -59,6 +65,56 @@ class WCSPHRigid(WCSPH):
 
         d_velocity = F.compute_forces(state, nd, spec, params, scfg)
         reactions = F.compute_rigid_reactions(state, nd, spec, params, scfg)
+
+        state = F.advect(state, d_velocity, params)
+        state, rigid = integrate_rigid(state, rigid, reactions, params)
+        state = F.enforce_domain_boundary(state, params)
+        return state, rigid
+
+    def _coupled_step_seg(self, carry):
+        """Coupled step on the pallas seg fast path: all four sweeps
+        (boundary volume, density, force, fluid->boundary reaction) run as
+        row-confined seg kernels; only the rigid integration (O(bodies))
+        stays in plain jnp.  Matches _coupled_step_fn's blocked physics
+        (gated by tests/test_rigid_dynamics.py::test_seg_coupled_matches_blocked)."""
+        import jax.numpy as jnp
+
+        from tisph_tpu.ops.pallas import sweeps as ps
+
+        state, rigid = carry
+        spec, params, scfg = self.spec, self.params, self.sweep_cfg
+
+        state, cache = self._seg_build(state)
+        plan, meta, sorted_ids = cache
+        kw = dict(tile=scfg.tile, interpret=scfg.interpret,
+                  fast_math=scfg.fast_math)
+
+        pack = ps.pack_state(
+            state.x, state.v, state.density, state.pressure,
+            state.mass, state.volume, state.material, sorted_ids, params,
+        )
+        state, pack = self._seg_boundary_volume(state, pack, plan, meta, kw)
+
+        rho_blk = ps.density_sweep_seg(
+            pack, meta, spec, params, scfg.block_size, scfg.window_cap, **kw
+        )
+        keep_f = plan.back_valid & state.fluid_mask
+        rho = jnp.where(keep_f, rho_blk[plan.back_idx], state.density)
+        rho = F.apply_density_mode(rho, state, params)
+        rho, pressure = F.compute_pressures(rho, params)
+        state = dataclasses.replace(state, density=rho, pressure=pressure)
+        pack = ps.repack_eos(pack, rho, pressure)
+
+        dv_blk = ps.force_sweep_seg(
+            pack, meta, spec, params, scfg.block_size, scfg.window_cap, **kw
+        )
+        d_velocity = jnp.where(keep_f[:, None], dv_blk[plan.back_idx], 0.0)
+
+        rx_blk = ps.reaction_sweep_seg(
+            pack, meta, spec, params, scfg.block_size, scfg.window_cap, **kw
+        )
+        keep_b = plan.back_valid & state.boundary_mask
+        reactions = jnp.where(keep_b[:, None], rx_blk[plan.back_idx], 0.0)
 
         state = F.advect(state, d_velocity, params)
         state, rigid = integrate_rigid(state, rigid, reactions, params)

@@ -67,6 +67,16 @@ class SweepConfig:
     #                                shrink to exact single-column runs
     pad_capacity: int = 0          # seg layout: logical-block capacity in
     #                                particle slots (block_cap * block_size)
+    resort_every: int = 1          # seg rollouts: rebuild sort/plan/meta
+    #                                every N substeps and reuse the cached
+    #                                structure in between (Verlet-skin-style
+    #                                amortization; pairs are r2-tested with
+    #                                CURRENT positions, so staleness only
+    #                                loses pairs whose kernel weight is
+    #                                O((2 d_moved / h)^3) — see
+    #                                WCSPH._seg_apply).  1 = exact resort
+    #                                every substep (the reference's cadence,
+    #                                sph_basev2.py:211).
 
 
 def sweep(

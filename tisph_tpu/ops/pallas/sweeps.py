@@ -112,6 +112,42 @@ def _tile_math(mode, dim, h, k_sig, k6, params, fast_math,
         (a0,) = acc_in
         return (a0 + jnp.sum(jnp.where(valid, contrib, 0.0), axis=1),)
 
+    if mode == "bvol":
+        # Akinci boundary-volume denominator: delta_i = W(0) + sum_{j bnd} W
+        # (sph_basev2.py:195-201); caller inverts and masks to boundary i.
+        contrib = jrow(_BD)[None, :] * w
+        (a0,) = acc_in
+        return (a0 + jnp.sum(jnp.where(valid, contrib, 0.0), axis=1),)
+
+    if mode == "reaction":
+        # fluid -> boundary reaction (forces.rigid_reaction_kernel):
+        # F_i = bvol_i * sum_{j fluid} m_j (nu_b(rho_j) dot_neg - p/rho^2_j)
+        #       gradW . r_vec    with bvol_i = rho0 V_i
+        mag = jnp.where(q <= 0.5, k6 * q * (3.0 * q - 2.0), -k6 * fac * fac)
+        gvalid = (r_norm > 1e-5) & (q <= 1.0)
+        gmag = jnp.where(gvalid, mag * rs * (1.0 / h), 0.0)
+        vi = ivals["vi"]
+        dot = jnp.zeros_like(r2)
+        for a in range(dim):
+            dot = dot + (vi[a][:, None] - jrow(_V + a)[None, :]) * dx[a]
+        if fast_math:
+            dot_neg = jnp.minimum(dot, 0.0) * pl.reciprocal(
+                r2 + 0.01 * h * h, approx=True
+            )
+            inv_rho_j = pl.reciprocal(jnp.maximum(jrow(_RHO)[None, :], 1e-12),
+                                      approx=True)
+        else:
+            dot_neg = jnp.minimum(dot, 0.0) / (r2 + 0.01 * h * h)
+            inv_rho_j = 1.0 / jnp.maximum(jrow(_RHO)[None, :], 1e-12)
+        nu_b = (params.boundary_sigma * h * params.c_s * 0.5) * inv_rho_j
+        coef = jrow(_FL)[None, :] * jrow(_M)[None, :] * (
+            nu_b * dot_neg - jrow(_PRHO2)[None, :]
+        )
+        coef = jnp.where(valid, ivals["bvol_i"] * coef * gmag, 0.0)
+        return tuple(
+            acc_in[a] + jnp.sum(coef * dx[a], axis=1) for a in range(dim)
+        )
+
     rho_i = ivals["rho_i"]
     p_rho2_i = ivals["p_rho2_i"]
     inv_m_i = ivals["inv_m_i"]
@@ -209,6 +245,14 @@ def _sweep_kernel(
     if mode == "density":
         m_i = ipack_ref[_M, :]
         acc0 = (m_i * k_sig,)  # m_i * W(0); W(0) = sigma
+    elif mode == "bvol":
+        acc0 = (jnp.full((block,), k_sig, jnp.float32),)  # W(0)
+    elif mode == "reaction":
+        ivals = {
+            "vi": [ipack_ref[_V + a, :] for a in range(dim)],
+            "bvol_i": (params.density0 * ipack_ref[_VOL, :])[:, None],
+        }
+        acc0 = tuple(jnp.zeros((block,), jnp.float32) for _ in range(dim))
     else:
         ivals = {
             "rho_i": ipack_ref[_RHO, :][:, None],
@@ -378,6 +422,24 @@ def force_sweep(pack, meta, spec, params, block, window, tile=256,
     return out[:, : spec.dim]
 
 
+def bvol_sweep(pack, meta, spec, params, block, window, tile=256,
+               interpret=False, ipack=None, fast_math=True):
+    """Akinci boundary-volume denominator delta_i = W(0) + sum_{j bnd} W;
+    caller takes 1/delta and masks to boundary particles."""
+    out = _run_sweep(pack, meta, "bvol", spec, params, block, window, tile,
+                     interpret, ipack, fast_math)
+    return out[:, 0]
+
+
+def reaction_sweep(pack, meta, spec, params, block, window, tile=256,
+                   interpret=False, ipack=None, fast_math=True):
+    """Fluid->boundary reaction force (forces.rigid_reaction_kernel);
+    caller masks to boundary particles."""
+    out = _run_sweep(pack, meta, "reaction", spec, params, block, window,
+                     tile, interpret, ipack, fast_math)
+    return out[:, : spec.dim]
+
+
 # ---------------------------------------------------------------------------
 # Seg layout: row-confined logical blocks (grid.seg_plan)
 # ---------------------------------------------------------------------------
@@ -542,6 +604,14 @@ def _seg_sweep_kernel(
     ivals = {}
     if mode == "density":
         acc0 = (irow(_M) * k_sig,)  # m_i * W(0); W(0) = sigma
+    elif mode == "bvol":
+        acc0 = (jnp.full((block,), k_sig, jnp.float32),)  # W(0)
+    elif mode == "reaction":
+        ivals = {
+            "vi": [irow(_V + a) for a in range(dim)],
+            "bvol_i": (params.density0 * irow(_VOL))[:, None],
+        }
+        acc0 = tuple(jnp.zeros((block,), jnp.float32) for _ in range(dim))
     else:
         ivals = {
             "rho_i": irow(_RHO)[:, None],
@@ -657,5 +727,21 @@ def force_sweep_seg(pack, meta: "SegMeta", spec, params, block, window,
                     tile=256, interpret=False, fast_math=True):
     """Seg-layout fused force sweep; output in block-slot space."""
     out = _run_sweep_seg(pack, meta, "force", spec, params,
+                         block, window, tile, interpret, fast_math)
+    return out[:, : spec.dim]
+
+
+def bvol_sweep_seg(pack, meta: "SegMeta", spec, params, block, window,
+                   tile=256, interpret=False, fast_math=True):
+    """Seg-layout boundary-volume denominator; block-slot space."""
+    out = _run_sweep_seg(pack, meta, "bvol", spec, params,
+                         block, window, tile, interpret, fast_math)
+    return out[:, 0]
+
+
+def reaction_sweep_seg(pack, meta: "SegMeta", spec, params, block, window,
+                       tile=256, interpret=False, fast_math=True):
+    """Seg-layout fluid->boundary reaction force; block-slot space."""
+    out = _run_sweep_seg(pack, meta, "reaction", spec, params,
                          block, window, tile, interpret, fast_math)
     return out[:, : spec.dim]

@@ -270,17 +270,45 @@ class ShardedWCSPH(SolverBase):
         force_k = F.force_kernel(params, spec)
 
         def sweep_shard(mode, kern, ids_l, x, v, density, pressure, mass, volume, material):
-            """One halo-extended sweep on this shard (blocked or pallas)."""
+            """One halo-extended sweep on this shard (blocked or pallas).
+
+            Returns (result, halo_flag, window_need): the scalar diagnostics
+            are pmax'd over shards — halo_flag trips when some required cell
+            range reaches past the ids the halo-extended array actually
+            covers (fluid migrated across slabs since bind measured the
+            reach), window_need is the per-dispatch window requirement
+            (same contract as the single-chip path)."""
             f_local = dict(
                 x=x, v=v, density=density, pressure=pressure,
                 mass=mass, volume=volume, material=material,
             )
             f_ext, ids_e, off = self._extend(f_local, ids_l, hn, hops, shard_rows)
             coords_l = gridops.cell_coords(x, spec)
+
+            # ---- halo-reach overflow flag --------------------------------
+            # Required id ranges of the local particles vs what the
+            # extension covers.  Left-covered iff ids_e[0] < min q_lo
+            # (every global id >= q_lo then lies inside); right-covered iff
+            # ids_e[-1] > max q_hi (ids beyond the extension are all larger).
+            # Neutralised edge chunks (-1 / num_cells) make the global head
+            # and tail trivially covered.
+            ranges = gridops.cell_target_ranges(coords_l, spec)
+            act = (ids_l < spec.num_cells)[:, None]
+            valid = act & (ranges[..., 0] <= ranges[..., 1])
+            q_lo = jnp.where(valid, ranges[..., 0], spec.num_cells)
+            q_hi = jnp.where(valid, ranges[..., 1], -1)
+            lo_min = jnp.min(q_lo)
+            hi_max = jnp.max(q_hi)
+            halo_flag = (
+                ((lo_min < spec.num_cells) & (ids_e[0] >= lo_min))
+                | ((hi_max >= 0) & (ids_e[-1] <= hi_max))
+            ).astype(jnp.int32)
+            halo_flag = jax.lax.pmax(halo_flag, ax) if self.n_shards > 1 else halo_flag
+
             if scfg.impl == "pallas":
                 from tisph_tpu.ops.pallas import sweeps as ps
 
-                meta, _need = ps.block_meta(
+                meta, need = ps.block_meta(
                     ids_e, coords_l, spec, scfg.block_size, scfg.window_cap,
                     ids_i=ids_l, i_offset=off,
                 )
@@ -299,11 +327,13 @@ class ShardedWCSPH(SolverBase):
                          fast_math=scfg.fast_math)
                 acc = {"rho": out} if mode == "density" else {"dv": out}
             else:
+                wstarts, wends = gridops.block_window_bounds(
+                    ids_e, coords_l, spec, scfg.block_size, ids_i=ids_l
+                )
+                need = jnp.max(jnp.maximum(wends - wstarts, 0))
                 nd = NeighborData(
-                    cell_ranges=gridops.cell_target_ranges(coords_l, spec),
-                    wstarts=gridops.block_window_starts(
-                        ids_e, coords_l, spec, scfg.block_size, ids_i=ids_l
-                    ),
+                    cell_ranges=ranges,
+                    wstarts=wstarts,
                     sorted_ids=ids_e,
                 )
                 acc = neighbor_sweep_blocked(
@@ -312,24 +342,30 @@ class ShardedWCSPH(SolverBase):
                     spec, params.support_length, scfg.block_size,
                     scfg.window_cap, x_i=x, i_offset=off,
                 )
+            need = need.astype(jnp.int32)
+            need = jax.lax.pmax(need, ax) if self.n_shards > 1 else need
             if mode == "density":
                 fluid = material == 1
-                return jnp.where(fluid, acc["rho"], density)
+                return jnp.where(fluid, acc["rho"], density), halo_flag, need
             fluid = (material == 1)[:, None]
-            return jnp.where(fluid, acc["dv"], 0.0)
+            return jnp.where(fluid, acc["dv"], 0.0), halo_flag, need
+
+        scalar_spec = P()  # pmax'd over shards -> replicated
 
         @partial(
             jax.shard_map,
             mesh=self.mesh,
             in_specs=(axis_spec,) + (axis_spec,) * len(_FIELD_KEYS),
-            out_specs=axis_spec,
+            out_specs=(axis_spec, scalar_spec, scalar_spec),
             check_vma=False,
         )
         def density_shard(ids_l, *fields):
             return sweep_shard("density", dens_k, ids_l, *fields)
 
         f = F.state_fields(state)
-        density = density_shard(sorted_ids, *[f[k] for k in _FIELD_KEYS])
+        density, hflag_d, need_d = density_shard(
+            sorted_ids, *[f[k] for k in _FIELD_KEYS]
+        )
         rho, pressure = tait_pressure(
             density, params.density0, params.stiffness, params.exponent
         )
@@ -339,20 +375,88 @@ class ShardedWCSPH(SolverBase):
             jax.shard_map,
             mesh=self.mesh,
             in_specs=(axis_spec,) + (axis_spec,) * len(_FIELD_KEYS),
-            out_specs=axis_spec,
+            out_specs=(axis_spec, scalar_spec, scalar_spec),
             check_vma=False,
         )
         def force_shard(ids_l, *fields):
             return sweep_shard("force", force_k, ids_l, *fields)
 
         f = F.state_fields(state)
-        d_velocity = force_shard(sorted_ids, *[f[k] for k in _FIELD_KEYS])
+        d_velocity, hflag_f, need_f = force_shard(
+            sorted_ids, *[f[k] for k in _FIELD_KEYS]
+        )
+
+        # fold the per-dispatch diagnostics (same contract as single-chip)
+        state = self._track_occ(state, jnp.maximum(need_d, need_f))
+        state = dataclasses.replace(
+            state,
+            occ_halo=jnp.maximum(
+                jnp.asarray(state.occ_halo, jnp.int32),
+                jnp.maximum(hflag_d, hflag_f).astype(jnp.int32),
+            ),
+        )
 
         # ---- local phases -------------------------------------------------
         state = F.advect(state, d_velocity, params)
         return F.enforce_domain_boundary(state, params)
 
     # ------------------------------------------------------------------
+    def regrow_halo(self, new_halo: int | None = None) -> None:
+        """Deepen the halo (default: double) and drop compiled artifacts.
+        Called by :meth:`run` when ``occ_halo`` trips — fluid migrated
+        across slabs until some shard's stencil reach exceeded the depth
+        measured at bind (dam-break pile-up concentrates particles into few
+        x-slabs, so the reach GROWS over a run)."""
+        h = int(new_halo if new_halo is not None else self.halo * 2)
+        h = max(128, -(-h // 128) * 128)
+        if self.n_shards > 1:
+            h = min(h, (self.n_shards - 1) * self._shard_rows)
+        self.halo = h
+        for name in [k for k in vars(self) if k.endswith("_jit")]:
+            setattr(self, name, None)
+
+    def run(
+        self,
+        state: SimState,
+        num_steps: int,
+        check_every: int = 400,
+        grow: float = 1.5,
+        verbose: bool = False,
+        max_dispatch: int = 400,
+        warn_frac: float = 0.9,
+    ) -> SimState:
+        """Sharded rollout with adaptive halo + window recapacity: after
+        every dispatch the pmax'd ``occ_halo`` flag and window requirement
+        are checked (two scalar fetches), mirroring the single-chip
+        overflow contract (SolverBase.run)."""
+        done = 0
+        chunk = max(1, min(check_every, max_dispatch))
+        while done < num_steps:
+            k = min(chunk, num_steps - done)
+            state = self.rollout(state, k)
+            done += k
+            if int(jax.device_get(state.occ_halo)):
+                old = self.halo
+                self.regrow_halo()
+                if verbose:
+                    print(f"[tisph] shard halo reach exceeded depth {old}; "
+                          f"deepened to {self.halo} (recompile)")
+            occ = int(jax.device_get(state.occ_window))
+            cap = self._occ_cap()
+            if cap and occ > warn_frac * cap:
+                self.regrow(int(max(occ, cap) * grow))
+                if verbose:
+                    print(f"[tisph] window occupancy {occ} "
+                          f"{'exceeded' if occ > cap else 'approaching'} cap "
+                          f"{cap}; re-capacitated to "
+                          f"{self.sweep_cfg.window_cap} (recompile)")
+            state = dataclasses.replace(
+                state,
+                occ_window=jnp.zeros((), jnp.int32),
+                occ_halo=jnp.zeros((), jnp.int32),
+            )
+        return state
+
     def metrics(self, state: SimState) -> dict[str, jax.Array]:
         params = self.params
 

@@ -43,6 +43,10 @@ def main():
     ap.add_argument("--layout", choices=["linear", "seg"], default=None)
     ap.add_argument("--settle", type=int, default=50,
                     help="steps to run before measuring (mid-collapse state)")
+    ap.add_argument("--resort", type=int, default=1,
+                    help="seg layout: resort_every amortization factor; the "
+                         "full-step row then times a whole R-substep group "
+                         "via rollout (per-substep cost = group / R)")
     args = ap.parse_args()
 
     scene = tt.load_scene(args.scene)
@@ -70,8 +74,16 @@ def main():
     state = solver.rollout(state, args.settle)
     jax.block_until_ready(state.x)
 
-    full = jax.jit(solver._step_fn)
-    t_full = timeit(full, (state,), args.reps)
+    if args.resort > 1:
+        solver.sweep_cfg = scfg = dataclasses.replace(
+            scfg, resort_every=args.resort
+        )
+        solver._rollout_jit = None  # pick up the amortized rollout
+        roll = lambda st: solver.rollout(st, args.resort)
+        t_full = timeit(roll, (state,), args.reps) / args.resort
+    else:
+        full = jax.jit(solver._step_fn)
+        t_full = timeit(full, (state,), args.reps)
 
     sort = jax.jit(lambda st: gridops.sort_state_by_cell(st, spec))
     t_sort = timeit(sort, (state,), args.reps)
