@@ -48,14 +48,20 @@ def _main_once(scene_path: str, steps: int) -> int:
             solver.sweep_cfg, resort_every=resort
         )
 
-    # warmup (also compiles; rollout fuses R-substep groups in one dispatch)
-    state = solver.rollout(state, resort)
+    # chunk the rollout (bounded dispatches) and pre-compile every chunk
+    # shape OUTSIDE the timed region
+    chunk = min(200, steps)
+    shapes = {chunk}
+    if steps % chunk:
+        shapes.add(steps % chunk)
+    for k in sorted(shapes):
+        state = solver.rollout(state, k)  # warmup/compile
     jax.block_until_ready(state.x)
 
     t0 = time.perf_counter()
     done = 0
     while done < steps:
-        k = min(200, steps - done)
+        k = min(chunk, steps - done)
         state = solver.rollout(state, k)
         done += k
     jax.block_until_ready(state.x)

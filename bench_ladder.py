@@ -32,12 +32,38 @@ LADDER = [
     ("3d_100k", "scenes/bench_3d_100k.json", 50, {}),
     ("3d_mesh_emitter_500k", "scenes/bench_3d_mesh_500k.json", 30, {"emit": True}),
     ("3d_1m_bpa", "scenes/bench_3d_1m.json", 30, {"bpa": True, "export": True}),
+    ("3d_rigid_coupled", "scenes/bench_3d_rigid.json", 30, {"rigid": True}),
 ]
 
 
 def run_config(name: str, scene_path: str, steps: int, opts: dict) -> dict:
     scene = tt.load_scene(os.path.join(HERE, scene_path))
     state = tt.build_state(scene)
+    if opts.get("rigid"):
+        from tisph_tpu.models.wcsph_rigid import WCSPHRigid
+
+        solver = WCSPHRigid(scene)
+        state = solver.bind(state)
+        rigid = solver.init_rigid(state)
+        n = int(jax.device_get(state.num_active))
+        # warmup compiles the exact dispatch shape (also settles 1 chunk)
+        state, rigid = solver.rollout_coupled(state, rigid, steps)
+        jax.block_until_ready(state.x)
+        t0 = time.perf_counter()
+        state, rigid = solver.rollout_coupled(state, rigid, steps)
+        jax.block_until_ready(state.x)
+        wall = time.perf_counter() - t0
+        m = jax.device_get(solver.metrics(state))
+        return {
+            "config": name,
+            "particles": n,
+            "steps": steps,
+            "wall_s": round(wall, 3),
+            "particle_steps_per_sec": round(n * steps / wall, 1),
+            "nan": int(m["nan_count"]),
+            "sweep": solver.sweep_cfg.impl,
+            "layout": getattr(solver.sweep_cfg, "layout", "linear"),
+        }
     solver = tt.WCSPH(scene)
     state = solver.bind(state)
     n = int(jax.device_get(state.num_active))
@@ -50,21 +76,19 @@ def run_config(name: str, scene_path: str, steps: int, opts: dict) -> dict:
 
     if emitters:
         # fused rollout: whole chunk in one dispatch (per-step dispatch
-        # through the tunnel was the measured 500k-config dip, VERDICT r1)
-        state, emitters = solver.rollout_emit(state, emitters, 1)  # compile
+        # through the tunnel was the measured 500k-config dip, VERDICT r1);
+        # warmup compiles the exact dispatch shape
+        state, emitters = solver.rollout_emit(state, emitters, steps)
         jax.block_until_ready(state.x)
         t0 = time.perf_counter()
         state, emitters = solver.rollout_emit(state, emitters, steps)
         jax.block_until_ready(state.x)
         wall = time.perf_counter() - t0
     else:
-        step = jax.jit(solver._step_fn)
-        compiled = step.lower(state).compile()
-        state = compiled(state)  # warmup
+        state = solver.rollout(state, steps)  # warmup: exact dispatch shape
         jax.block_until_ready(state.x)
         t0 = time.perf_counter()
-        for _ in range(steps):
-            state = compiled(state)
+        state = solver.rollout(state, steps)
         jax.block_until_ready(state.x)
         wall = time.perf_counter() - t0
 

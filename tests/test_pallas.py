@@ -10,7 +10,14 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+import os
+
 import tisph_tpu as tt
+
+# interpret mode on the CPU CI; TISPH_TEST_TPU=1 runs the real
+# Mosaic kernels on hardware (tools/run_tpu_gate.py records the
+# artifact)
+_INTERPRET = not os.environ.get("TISPH_TEST_TPU")
 from tisph_tpu.models.state import pad_state_capacity
 from tisph_tpu.ops import forces as F
 from tisph_tpu.ops import grid as gridops
@@ -46,7 +53,7 @@ def _sorted_setup(scene, cap=2048):
     solver = tt.WCSPH(
         scene,
         sweep_cfg=SweepConfig(impl="pallas", block_size=128,
-                              window_cap=1024, tile=128, interpret=True),
+                              window_cap=1024, tile=128, interpret=_INTERPRET),
     )
     state = solver.bind(pad_state_capacity(state, cap))
     spec, params, scfg = solver.spec, solver.params, solver.sweep_cfg
@@ -68,7 +75,7 @@ def test_density_sweep_matches_bruteforce(dim):
 
     rho_p = np.asarray(
         ps.density_sweep(pack, meta, spec, params, scfg.block_size,
-                         scfg.window_cap, tile=scfg.tile, interpret=True)
+                         scfg.window_cap, tile=scfg.tile, interpret=_INTERPRET)
     )
 
     x = np.asarray(state_s.x, dtype=np.float64)
@@ -102,7 +109,7 @@ def test_force_sweep_matches_blocked():
     dv_b = np.asarray(F.compute_forces(state_s, nd, spec, params, scfg_b))
     dv_p = np.asarray(
         ps.force_sweep(pack, meta, spec, params, scfg.block_size,
-                       scfg.window_cap, tile=scfg.tile, interpret=True)
+                       scfg.window_cap, tile=scfg.tile, interpret=_INTERPRET)
     )
     fluid = np.asarray(state_s.material) == 1
     scale = np.abs(dv_b[fluid]).max()
@@ -118,7 +125,7 @@ def test_pallas_step_runs():
     solver = tt.WCSPH(
         scene,
         sweep_cfg=SweepConfig(impl="pallas", block_size=128,
-                              window_cap=1024, tile=128, interpret=True),
+                              window_cap=1024, tile=128, interpret=_INTERPRET),
     )
     state = solver.bind(state)
     for _ in range(5):

@@ -10,7 +10,14 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+import os
+
 import tisph_tpu as tt
+
+# interpret mode on the CPU CI; TISPH_TEST_TPU=1 runs the real
+# Mosaic kernels on hardware (tools/run_tpu_gate.py records the
+# artifact)
+_INTERPRET = not os.environ.get("TISPH_TEST_TPU")
 from tisph_tpu.models.state import pad_state_capacity
 from tisph_tpu.ops import forces as F
 from tisph_tpu.ops import grid as gridops
@@ -26,7 +33,7 @@ def _seg_setup(scene, cap=2048, pad_cap=8192, block=128, wcap=512):
     solver = tt.WCSPH(
         scene,
         sweep_cfg=SweepConfig(impl="pallas", block_size=block, window_cap=wcap,
-                              tile=128, interpret=True, layout="seg",
+                              tile=128, interpret=_INTERPRET, layout="seg",
                               pad_capacity=pad_cap),
     )
     state = solver.bind(pad_state_capacity(state, cap))
@@ -85,7 +92,7 @@ def test_seg_density_matches_bruteforce(dim):
 
     rho_blk = ps.density_sweep_seg(
         pack, meta, spec, params, scfg.block_size, scfg.window_cap,
-        tile=scfg.tile, interpret=True,
+        tile=scfg.tile, interpret=_INTERPRET,
     )
     rho_p = np.asarray(rho_blk[plan.back_idx])
 
@@ -121,7 +128,7 @@ def test_seg_force_matches_blocked():
     dv_b = np.asarray(F.compute_forces(state_s, nd, spec, params, scfg_b))
     dv_blk = ps.force_sweep_seg(
         pack, meta, spec, params, scfg.block_size, scfg.window_cap,
-        tile=scfg.tile, interpret=True,
+        tile=scfg.tile, interpret=_INTERPRET,
     )
     dv_p = np.asarray(dv_blk[plan.back_idx])
     fluid = np.asarray(state_s.material) == 1
@@ -141,7 +148,7 @@ def test_seg_step_matches_blocked_trajectory():
     s_sg = tt.WCSPH(
         scene,
         sweep_cfg=SweepConfig(impl="pallas", block_size=128, window_cap=512,
-                              tile=128, interpret=True, layout="seg",
+                              tile=128, interpret=_INTERPRET, layout="seg",
                               pad_capacity=8192),
     )
     st_s = s_sg.bind(state)
@@ -162,7 +169,7 @@ def test_seg_overflow_detected_and_regrown():
     solver = tt.WCSPH(
         scene,
         sweep_cfg=SweepConfig(impl="pallas", block_size=128, window_cap=512,
-                              tile=128, interpret=True, layout="seg",
+                              tile=128, interpret=_INTERPRET, layout="seg",
                               pad_capacity=8192),
     )
     state = solver.bind(state)
@@ -190,7 +197,7 @@ def test_amortized_resort_divergence():
         solver = tt.WCSPH(
             scene,
             sweep_cfg=SweepConfig(impl="pallas", block_size=128,
-                                  window_cap=512, tile=128, interpret=True,
+                                  window_cap=512, tile=128, interpret=_INTERPRET,
                                   layout="seg", pad_capacity=8192,
                                   resort_every=resort_every),
         )

@@ -134,7 +134,11 @@ class WCSPH(SolverBase):
         block_cap = scfg.pad_capacity // scfg.block_size
 
         state, sorted_ids, _ = gridops.sort_state_by_cell(state, spec)
-        plan = gridops.seg_plan(sorted_ids, spec, scfg.block_size, block_cap)
+        # one CSR bounds build feeds both the plan and the window meta
+        bounds = gridops.csr_bounds_hist(sorted_ids, spec)
+        plan = gridops.seg_plan(
+            sorted_ids, spec, scfg.block_size, block_cap, bounds=bounds
+        )
         state = dataclasses.replace(
             state,
             occ_rowpad=jnp.maximum(
@@ -143,7 +147,8 @@ class WCSPH(SolverBase):
             ),
         )
         meta, need = ps.seg_block_meta(
-            plan, sorted_ids, spec, scfg.block_size, scfg.window_cap
+            plan, sorted_ids, spec, scfg.block_size, scfg.window_cap,
+            bounds=bounds,
         )
         state = self._track_occ(state, need)
         return state, (plan, meta, sorted_ids)

