@@ -56,6 +56,11 @@ def main() -> int:
     ap.add_argument("--gif", default=None,
                     help="assemble exported PNG frames into a GIF here "
                          "(requires --out and --format png)")
+    ap.add_argument("--resort", type=int, default=1,
+                    help="pallas seg layout: rebuild the neighbor structure "
+                         "every N substeps (amortized resort; N=1 is the "
+                         "reference's exact per-substep cadence — see "
+                         "ROADMAP.md for the measured divergence)")
     args = ap.parse_args()
     if args.gif and (not args.out or args.format != "png"):
         ap.error("--gif requires --out DIR and --format png")
@@ -81,6 +86,16 @@ def main() -> int:
         from tisph_tpu import checkpoint
         state = checkpoint.load_npz(args.resume)
         print(f"resumed from {args.resume}: {int(state.num_active)} particles")
+    if (
+        args.resort > 1
+        and solver.sweep_cfg is not None
+        and solver.sweep_cfg.impl == "pallas"
+        and solver.sweep_cfg.layout == "seg"
+    ):
+        import dataclasses as _dc
+        solver.sweep_cfg = _dc.replace(
+            solver.sweep_cfg, resort_every=args.resort
+        )
     print(f"grid: res={solver.spec.res} run_cap={solver.spec.run_cap} "
           f"dt={solver.params.dt} sweep={solver.sweep_cfg.impl}")
 

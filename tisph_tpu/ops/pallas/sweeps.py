@@ -616,6 +616,8 @@ def _seg_sweep_kernel(
         acc0 = (irow(_M) * k_sig,)  # m_i * W(0); W(0) = sigma
     elif mode == "bvol":
         acc0 = (jnp.full((block,), k_sig, jnp.float32),)  # W(0)
+    elif mode == "probe":
+        acc0 = (jnp.zeros((block,), jnp.float32),)
     elif mode == "reaction":
         ivals = {
             "vi": [irow(_V + a) for a in range(dim)],
@@ -644,6 +646,10 @@ def _seg_sweep_kernel(
 
         def tile_body(t, acc_in, wref=wref, dq=dq, delta=delta, wl=wl, g0=g0):
             jrow = lambda rr: wref[rr, pl.ds(dq + t * tile, tile)]  # (T,)
+            if mode == "probe":
+                # diagnostic: fetch + loop + one touch per lane — measures
+                # the sweep's fixed costs without the pair math
+                return (acc_in[0] + jnp.sum(jrow(_X)),) + acc_in[1:]
             off = t * tile + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
             g = g0 + off
 

@@ -93,5 +93,41 @@ def main():
     print(f"  sort_key_val only   : {timeit(key, (state,)):7.2f} ms")
 
 
+def probe_sweep():
+    """Fixed-cost probe of the seg sweep: window DMA + tile loop + one
+    touch per lane, no pair math — separates the sweeps' base cost from
+    compute (run via: python tools/microbench_meta.py probe)."""
+    import functools
+
+    scene = tt.load_scene("scenes/demo_3d.json")
+    solver = tt.WCSPH(scene)
+    state = solver.bind(tt.build_state(scene))
+    spec, scfg = solver.spec, solver.sweep_cfg
+    state = solver.rollout(state, 50)
+    jax.block_until_ready(state.x)
+    st, ids, _ = jax.jit(lambda s: gridops.sort_state_by_cell(s, spec))(state)
+    plan = jax.jit(lambda i: gridops.seg_plan(
+        i, spec, scfg.block_size, scfg.pad_capacity // scfg.block_size))(ids)
+    meta, _ = jax.jit(lambda p, i: ps.seg_block_meta(
+        p, i, spec, scfg.block_size, scfg.window_cap))(plan, ids)
+    params = solver.params
+    pack = jax.jit(lambda s, i: ps.pack_state(
+        s.x, s.v, s.density, s.pressure, s.mass, s.volume, s.material, i,
+        params))(st, ids)
+
+    for mode in ("probe", "density", "force"):
+        fn = jax.jit(functools.partial(
+            ps._run_sweep_seg, mode=mode, spec=spec, params=params,
+            block=scfg.block_size, window=scfg.window_cap, tile=scfg.tile,
+            interpret=False, fast_math=True))
+        t = timeit(lambda p, m: fn(p, m), (pack, meta))
+        print(f"seg sweep [{mode:8}]: {t:7.2f} ms")
+
+
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    if "probe" in _sys.argv:
+        probe_sweep()
+    else:
+        main()
