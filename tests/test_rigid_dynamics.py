@@ -1,8 +1,11 @@
 """Dynamic rigid bodies (two-way coupling) — a capability beyond the
-reference.  The fluid-coupled gates are physically validated on TPU (see
-docs/design.md) and run here under ``-m slow`` (CPU coupled-step compiles
-are minutes each); the default suite covers the integrator + reaction
-machinery with the fast free-fall case.
+reference.  The fluid-coupled gates run under ``-m slow`` here (CPU
+coupled-step compiles are minutes each); the checked-in evidence that they
+pass ON HARDWARE with compiled Mosaic kernels is artifacts/tpu_gate.json
+(regenerate with: PYTHONPATH=.:/root/.axon_site python
+tools/run_tpu_gate.py).  The default suite covers the integrator +
+reaction machinery with the fast free-fall case and the seg-vs-blocked
+coupled-step equivalence gate.
 
 Run the slow set explicitly:  python -m pytest tests -m slow
 """
