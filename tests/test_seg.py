@@ -63,25 +63,26 @@ def test_seg_plan_is_consistent(dim):
     act = ids_np < spec.num_cells
 
     seg_start = np.asarray(plan.seg_start)
-    row_of = np.asarray(plan.row_of)
-    z_first = np.asarray(plan.z_first)
-    z_last = np.asarray(plan.z_last)
+    seg_len = np.asarray(plan.seg_len)
+    own_lo = np.asarray(plan.own_lo)
+    id_first = np.asarray(plan.id_first)
+    id_last = np.asarray(plan.id_last)
     back = np.asarray(plan.back_idx)
     back_valid = np.asarray(plan.back_valid)
 
     # starts are lane-aligned (the DMA grid)
     assert (seg_start % 128 == 0).all()
 
-    # every active particle maps to a slot whose block agrees on position,
-    # row, and z range; slots are unique (no two particles share one)
+    # every active particle maps to a slot whose block agrees on position
+    # and own id range; slots are unique (no two particles share one)
     assert back_valid[act].all() and not back_valid[~act].any()
     assert len(np.unique(back[act])) == act.sum()
     for t in np.nonzero(act)[0][:: max(1, n // 300)]:
         b, lane = back[t] // block, back[t] % block
         assert seg_start[b] + lane == t
-        assert row_of[b] == ids_np[t] // res_z
-        z = ids_np[t] % res_z
-        assert z_first[b] <= z <= z_last[b]
+        assert seg_len[b] > 0
+        assert own_lo[b] <= lane < own_lo[b] + seg_len[b]
+        assert id_first[b] <= ids_np[t] <= id_last[b]
 
 
 @pytest.mark.parametrize("dim", [2, 3])

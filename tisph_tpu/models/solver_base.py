@@ -313,22 +313,52 @@ class SolverBase:
         ``check_every`` now only bounds how many steps run between host
         checks (and hence the worst-case number of steps a late overflow
         could degrade); each check costs one scalar fetch.
+
+        Dispatch duration is also bounded ADAPTIVELY: chunks are timed on
+        the host and the chunk size halves whenever a dispatch exceeds
+        ~25 s (slow-step regimes — e.g. a transient capacity blow-up mid
+        collapse — would otherwise push a fixed 400-step chunk past the
+        tunneled runtime's ~60 s watchdog and crash the TPU worker).
         """
         import dataclasses as _dc
+        import time as _time
 
         done = 0
+        budget_s = 25.0
+        low_checks = 0  # consecutive low-occupancy checks (cap shrink)
+        warm: set[int] = set()  # chunk sizes whose rollout is compiled
         cap_chunk = max(1, min(check_every, max_dispatch))
         while done < num_steps:
             k = min(cap_chunk, num_steps - done)
             # bound single-dispatch duration: very long fori_loop executions
             # (> ~1 min) can trip device watchdogs on tunneled runtimes
+            t0 = _time.perf_counter()
             state = self.rollout(state, k)
+            jax.block_until_ready(state.x)
+            wall = _time.perf_counter() - t0
+            cold = k not in warm  # first call per shape pays ~30-60s compile
+            warm.add(k)
             done += k
+            # adapt only on WARM walls — a cold wall is compile-dominated
+            # and halving on it just mints another cold shape (measured
+            # death spiral in the round-2 soak)
+            if not cold and wall > budget_s and cap_chunk > 25:
+                cap_chunk = max(25, cap_chunk // 2)
+                if verbose:
+                    print(f"[tisph] {k}-step dispatch took {wall:.1f}s; "
+                          f"chunk size lowered to {cap_chunk}")
+            elif (
+                not cold and wall < budget_s / 4
+                and cap_chunk < min(check_every, max_dispatch)
+            ):
+                cap_chunk = min(cap_chunk * 2, check_every, max_dispatch)
+            caps_before = (self.sweep_cfg, self.spec)
             occ = int(jax.device_get(state.occ_window))
             cap = self._occ_cap()
             if occ > warn_frac * cap:
                 dropped = occ > cap
                 self.regrow(int(max(occ, cap) * grow))
+                low_checks = 0
                 if verbose:
                     print(
                         f"[tisph] window occupancy {occ} "
@@ -341,6 +371,19 @@ class SolverBase:
                             else ""
                         )
                     )
+            elif occ > 0 and occ < 0.4 * cap:
+                # transient spikes (splash compression) force the cap up and
+                # the DMA/scratch cost would stay pinned forever; shrink
+                # back after sustained low occupancy (hysteresis: 3 checks)
+                low_checks += 1
+                if low_checks >= 3:
+                    self.regrow(int(occ * grow))
+                    low_checks = 0
+                    if verbose:
+                        print(f"[tisph] window occupancy {occ} well under "
+                              f"cap {cap}; shrunk to {self._occ_cap()}")
+            else:
+                low_checks = 0
             cfg = self.sweep_cfg
             if cfg is not None and cfg.layout == "seg":
                 pad_occ = int(jax.device_get(state.occ_rowpad))
@@ -354,6 +397,17 @@ class SolverBase:
                             f"cap {pad_cap} slots; re-capacitated to "
                             f"{self.sweep_cfg.pad_capacity}"
                         )
+                elif pad_occ > 0 and pad_occ < 0.5 * pad_cap:
+                    # every padded block is dispatched (grid covers
+                    # block_cap, not need_blocks) — shrink when spray
+                    # settles so unused blocks stop costing fetches
+                    self.regrow(new_pad=int(pad_occ * grow))
+                    if verbose:
+                        print(f"[tisph] seg block occupancy {pad_occ} well "
+                              f"under cap {pad_cap}; shrunk to "
+                              f"{self.sweep_cfg.pad_capacity}")
+            if (self.sweep_cfg, self.spec) != caps_before:
+                warm.clear()  # regrow dropped the compiled rollouts
             state = _dc.replace(
                 state,
                 occ_window=jnp.zeros((), jnp.int32),

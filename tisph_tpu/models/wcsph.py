@@ -113,11 +113,11 @@ class WCSPH(SolverBase):
         return F.enforce_domain_boundary(state, params)
 
     def _step_fn_pallas_seg(self, state: SimState) -> SimState:
-        """Pallas step over row-confined logical blocks (grid.seg_plan): the
-        particle array and the pack stay compact-sorted; blocks are defined
-        per grid row so every candidate window is the exact single-column
-        [z_first-1, z_last+1] run, and sweep outputs land in block-slot
-        space, gathered back via the plan's inverse map."""
+        """Pallas step over anchor-confined logical blocks (grid.seg_plan):
+        the particle array and the pack stay compact-sorted; dense grid
+        rows get their own z-trimmed candidate windows while sparse-row
+        runs share multi-row blocks (spray-safe), and sweep outputs land in
+        block-slot space, gathered back via the plan's inverse map."""
         state, cache = self._seg_build(state)
         return self._seg_apply(state, cache)
 

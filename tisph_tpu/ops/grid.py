@@ -218,21 +218,20 @@ _SEG_ALIGN = 128  # logical-block starts are lane-aligned (TPU DMA grid)
 
 
 class SegPlan(NamedTuple):
-    """Row-segmented logical blocks over the compact cell-sorted array
+    """Anchor-segmented logical blocks over the compact cell-sorted array
     (see :func:`seg_plan`).  All arrays static-shape; ``block_cap`` logical
     blocks of ``block`` i-lanes each."""
 
     seg_start: jax.Array   # (block_cap,) i32 — compact, 128-aligned block start
-    seg_len: jax.Array     # (block_cap,) i32 — own-row lanes (0 = unused block)
-    own_lo: jax.Array      # (block_cap,) i32 — first own-row lane within the
+    seg_len: jax.Array     # (block_cap,) i32 — own lanes (0 = unused block)
+    own_lo: jax.Array      # (block_cap,) i32 — first own lane within the
     #                        block (own range = [own_lo, own_lo + seg_len))
-    row_of: jax.Array      # (block_cap,) i32 — grid row of each block
-    z_first: jax.Array     # (block_cap,) i32 — z cell of first own-row particle
-    z_last: jax.Array      # (block_cap,) i32 — z cell of last own-row particle
+    id_first: jax.Array    # (block_cap,) i32 — cell id of first own particle
+    id_last: jax.Array     # (block_cap,) i32 — cell id of last own particle
     back_idx: jax.Array    # (n,) i32 — block-output slot of each compact index
     back_valid: jax.Array  # (n,) bool — compact index is covered by a block
     need_blocks: jax.Array  # () i32 — blocks this step actually needs;
-    #                         > block_cap means trailing rows lost coverage
+    #                         > block_cap means trailing regions lost coverage
 
 
 def seg_plan(
@@ -241,33 +240,36 @@ def seg_plan(
     block: int,
     block_cap: int,
     bounds: jax.Array | None = None,
+    dense_min: int = 32,
 ) -> SegPlan:
-    """Partition the compact cell-sorted array into row-confined logical
-    blocks: each grid *row* (the contiguous z-run of cells sharing leading
-    coords — one column of the stencil) is covered by blocks starting at the
-    128-aligned floor of the row's first particle.
+    """Partition the compact cell-sorted array into *anchor*-confined
+    logical blocks:
 
-    With a block's OWN lanes confined to one row, each (block, stencil-row)
-    candidate window is exactly the [z_first-1, z_last+1] run of ONE
-    neighbor column: no cross-row window blowups, no gap cells, and the
-    in-kernel cell-id membership test reduces to the window bounds
-    themselves (any window particle outside a given i's z range is >= one
-    full cell away in z, so ``r2 < h^2`` alone decides membership; windows
-    of different stencil rows live in different columns, so no pair is ever
-    double-counted).
+    - every DENSE grid row (>= ``dense_min`` particles; a row = the
+      contiguous z-run of cells sharing leading coords) is its own anchor —
+      blocks confined to one row keep candidate windows at the
+      [z_first-1, z_last+1] single-column density floor, immune to the
+      linear layout's cross-row straddle blowup;
+    - maximal runs of consecutive SPARSE rows share one anchor — their
+      particles are contiguous in sorted order, so spray that wets
+      thousands of near-empty rows costs ceil(particles/block) blocks, not
+      one block per wetted row (the round-2 soak measured the per-row rule
+      exploding 3.6k -> 15k blocks as a dam-break wet every (x,y) column).
 
-    The particle array is untouched and block starts stay lane-aligned: a
-    row's first block may begin up to 127 lanes inside the PREVIOUS row, and
-    its last block may overhang into the next — those lanes compute results
-    against the wrong row's windows and are simply discarded by the back
-    map (each particle's canonical slot is in its own row's blocks).  A
-    newly wetted row therefore costs one logical block (one grid step + one
-    output tile), not a padded relayout: dam-break spray stays cheap.
+    Anchor blocks start at the 128-aligned floor of the anchor's first
+    particle; leading/overhang lanes compute against the wrong windows and
+    are discarded by the back map.  A block's candidate window per stencil
+    offset is the contiguous id range [id_first - z..., id_last + z...]
+    derived from its own first/last particle ids (seg_block_meta); since a
+    multi-row block's windows of adjacent stencil offsets can overlap, the
+    sweep kernel applies a per-pair cell-id membership test (sort-time ids
+    on both sides — also what keeps the cached structure consistent under
+    resort_every amortization).
 
     ``need_blocks > block_cap`` (detected after every dispatch via
-    SolverBase.run, same contract as window overflow) means trailing rows
-    lost sweep coverage this step; the inactive sentinel tail is never
-    covered (``back_valid`` false — callers keep prior values there).
+    SolverBase.run, same contract as window overflow) means trailing
+    regions lost sweep coverage this step; the inactive sentinel tail is
+    never covered (``back_valid`` false — callers keep prior values there).
     """
     n = sorted_ids.shape[0]
     res_z = int(spec.res[-1])
@@ -279,16 +281,49 @@ def seg_plan(
     row_queries = jnp.arange(num_rows + 1, dtype=jnp.int32) * res_z
     in_starts = bounds[jnp.minimum(row_queries, spec.num_cells)].astype(jnp.int32)
     counts = jnp.diff(in_starts)
-    s0 = (in_starts[:-1] // align) * align  # (R,) aligned row origin
-    span = in_starts[1:] - s0  # row extent incl. the leading overlap
-    nblk = jnp.where(counts > 0, (span + block - 1) // block, 0)
+
+    # anchors: dense rows, and the first row of every maximal sparse run
+    # (a sparse run is also cut after a dense row so runs stay contiguous)
+    dense = counts >= dense_min
+    prev_dense = jnp.concatenate([jnp.asarray([True]), dense[:-1]])
+    is_anchor = dense | prev_dense  # sparse row after dense/array start
+    r_idx = jnp.arange(num_rows, dtype=jnp.int32)
+    if spec.dim >= 3:
+        # cut sparse runs at leading-axis (x) boundaries: spray above a dam
+        # pile connects across ALL x-slabs through the sparse top rows, and
+        # a multi-x sparse block's stencil targets would include full DENSE
+        # pile rows of the adjacent slab — measured in the round-2 soak as
+        # window caps spiraling 1314 -> 9344.  Within one slab, sparsity is
+        # height-correlated, so same-height targets stay sparse.
+        res_row_last = int(np.asarray(spec.res)[spec.dim - 2])
+        is_anchor = is_anchor | ((r_idx % res_row_last) == 0)
+    # anchor row of each row: itself if anchor else the nearest anchor above
+    anchor_of = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_anchor, r_idx, -1)
+    )
+    # per-ANCHOR extent: start = in_starts[a]; end = in_starts of the next
+    # anchor.  Compute per-row then reduce: a row's particles belong to
+    # anchor_of[row].
+    a_start = in_starts[:-1]  # (R,) start of each row
+    # anchor end = max over rows with the same anchor of in_starts[r+1]
+    anchor_end = jax.ops.segment_max(
+        in_starts[1:], anchor_of, num_segments=num_rows
+    )
+    s0 = (a_start // align) * align  # (R,) aligned anchor origin (valid at anchors)
+    span = jnp.maximum(anchor_end - s0, 0)
+    has_p = jax.ops.segment_max(
+        (counts > 0).astype(jnp.int32), anchor_of, num_segments=num_rows
+    )
+    nblk = jnp.where(
+        is_anchor & (has_p > 0), (span + block - 1) // block, 0
+    )
     blk_cum = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(nblk, dtype=jnp.int32)]
     )
     need_blocks = blk_cum[-1]
     blk_cum = jnp.minimum(blk_cum, block_cap)
 
-    row_of = _segment_of(blk_cum, block_cap)  # (block_cap,) in [0, R]
+    row_of = _segment_of(blk_cum, block_cap)  # block -> anchor row in [0, R]
     b = jnp.arange(block_cap, dtype=jnp.int32)
     r = jnp.minimum(row_of, num_rows - 1)
     k_in_row = b - blk_cum[r]
@@ -297,27 +332,27 @@ def seg_plan(
     seg_start = jnp.clip(
         s0[r] + k_in_row * block, 0, max(((n - 1) // align) * align, 0)
     )
-    own_lo = jnp.clip(in_starts[r] - seg_start, 0, block)
-    own_hi = jnp.clip(in_starts[r + 1] - seg_start, 0, block)
+    own_lo = jnp.clip(a_start[r] - seg_start, 0, block)
+    own_hi = jnp.clip(anchor_end[r] - seg_start, 0, block)
     seg_len = jnp.where(row_of < num_rows, jnp.maximum(own_hi - own_lo, 0), 0)
 
-    id_first = sorted_ids[jnp.clip(seg_start + own_lo, 0, n - 1)]
-    id_last = sorted_ids[jnp.clip(seg_start + own_hi - 1, 0, n - 1)]
-    z_first = jnp.clip(id_first - r * res_z, 0, res_z - 1)
-    z_last = jnp.clip(id_last - r * res_z, 0, res_z - 1)
+    id_first = sorted_ids[jnp.clip(seg_start + own_lo, 0, n - 1)].astype(jnp.int32)
+    id_last = sorted_ids[jnp.clip(seg_start + own_hi - 1, 0, n - 1)].astype(jnp.int32)
+    id_first = jnp.minimum(id_first, spec.num_cells - 1)
+    id_last = jnp.minimum(id_last, spec.num_cells - 1)
 
-    # inverse map: compact index -> block-output slot.  The row of particle
-    # t is just ids[t] // res_z (sentinel tail -> num_rows) — no scan needed.
+    # inverse map: compact index -> block-output slot via the particle's
+    # anchor row (= anchor_of[ids[t] // res_z]; sentinel tail -> invalid).
     row_of_t = jnp.minimum(sorted_ids // res_z, num_rows).astype(jnp.int32)
     t = jnp.arange(n, dtype=jnp.int32)
-    rr = jnp.minimum(row_of_t, num_rows - 1)
+    rr = anchor_of[jnp.minimum(row_of_t, num_rows - 1)]
     off_t = t - s0[rr]
     bb = blk_cum[rr] + off_t // block
-    # a clipped (overflowed) row has blk_cum[rr+1] == blk_cum[rr]: invalid
+    # a clipped (overflowed) anchor has blk_cum[rr+1] == blk_cum[rr]: invalid
     back_valid = (row_of_t < num_rows) & (bb < blk_cum[rr + 1])
     back_idx = jnp.clip(bb * block + off_t % block, 0, block_cap * block - 1)
     return SegPlan(
-        seg_start, seg_len, own_lo, r, z_first, z_last,
+        seg_start, seg_len, own_lo, id_first, id_last,
         back_idx, back_valid, need_blocks,
     )
 
@@ -334,26 +369,17 @@ def decode_cell_ids(ids: jax.Array, spec: GridSpec) -> jax.Array:
 
 
 def suggest_block_capacity(
-    state: SimState, spec: GridSpec, block: int = 128, slack: float = 4.0
+    state: SimState, spec: GridSpec, block: int = 128, slack: float = 2.0
 ) -> int:
-    """Static seg-layout block capacity (in particle SLOTS, block_cap*block)
-    from the initial configuration: base blocks for the full capacity plus
-    generous headroom for rows wetted later (each new row costs one block).
-    Host-side, at bind."""
-    x = np.asarray(jax.device_get(state.x), dtype=np.float64)
-    mat = np.asarray(jax.device_get(state.material))
-    start = np.asarray(spec.domain_start)
-    res = np.asarray(spec.res)
-    strides = np.asarray(spec.strides)
-    coords = np.clip(np.floor((x - start) / spec.cell_size).astype(np.int64), 0, res - 1)
-    ids = (coords * strides).sum(axis=-1)
-    active = mat != MATERIAL_INVALID
-    res_z = int(res[-1])
-    nrows0 = len(np.unique(ids[active] // res_z)) if active.any() else 1
-    num_rows_total = int(np.prod(res[:-1])) if spec.dim > 1 else 1
+    """Static seg-layout block capacity (in particle SLOTS, block_cap*block):
+    base blocks for the full capacity plus headroom for anchor
+    fragmentation (each anchor — a dense row or a sparse-row run — wastes
+    at most ~2 blocks of alignment overlap, and the number of anchors is
+    bounded by particles/dense_min, not by wetted rows — the anchor plan
+    exists precisely so spray over thousands of rows stays cheap).
+    Adaptive regrow (SolverBase.run) corrects underestimates at runtime."""
     base = -(-state.capacity // block)
-    headroom = max(int(nrows0 * slack), 2048)
-    headroom = min(headroom, num_rows_total)  # can't need more rows than exist
+    headroom = max(int(base * (slack - 1.0)), 1024)
     return (base + headroom) * block
 
 

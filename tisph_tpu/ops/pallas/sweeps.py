@@ -90,7 +90,7 @@ def repack_eos(pack: jax.Array, density: jax.Array, pressure: jax.Array) -> jax.
     )
 
 
-def _tile_math(mode, dim, h, k_sig, k6, params, fast_math,
+def _tile_math(mode, dim, h, k_sig, params, fast_math,
                ivals, jrow, dx, r2, valid, acc_in):
     """Per-pair physics shared by the linear and seg kernels: evaluates the
     cubic kernel and (mode='force') the fused non-pressure + pressure terms
@@ -101,11 +101,13 @@ def _tile_math(mode, dim, h, k_sig, k6, params, fast_math,
     rs = jax.lax.rsqrt(jnp.maximum(r2, 1e-12))
     r_norm = r2 * rs
     q = r_norm * (1.0 / h)
-    inner = 6.0 * (q * q * q - q * q) + 1.0
-    fac = 1.0 - q
-    outer = 2.0 * fac * fac * fac
-    w = jnp.where(q <= 0.5, inner, outer) * k_sig
-    w = jnp.where(q <= 1.0, w, 0.0)
+    # branchless cubic spline: W/k = 2(1-q)+^3 - 8(0.5-q)+^3 and
+    # dW/dq /k = -6(1-q)+^2 + 24(0.5-q)+^2 reproduce the piecewise form
+    # exactly (identical to f64 rounding) with two clamps instead of four
+    # selects, and the q > 1 cutoff comes free from the clamps.
+    p1 = jnp.maximum(1.0 - q, 0.0)
+    p2 = jnp.maximum(0.5 - q, 0.0)
+    w = (2.0 * p1 * p1 * p1 - 8.0 * p2 * p2 * p2) * k_sig
 
     if mode == "density":
         contrib = jrow(_EFFM)[None, :] * w
@@ -123,9 +125,8 @@ def _tile_math(mode, dim, h, k_sig, k6, params, fast_math,
         # fluid -> boundary reaction (forces.rigid_reaction_kernel):
         # F_i = bvol_i * sum_{j fluid} m_j (nu_b(rho_j) dot_neg - p/rho^2_j)
         #       gradW . r_vec    with bvol_i = rho0 V_i
-        mag = jnp.where(q <= 0.5, k6 * q * (3.0 * q - 2.0), -k6 * fac * fac)
-        gvalid = (r_norm > 1e-5) & (q <= 1.0)
-        gmag = jnp.where(gvalid, mag * rs * (1.0 / h), 0.0)
+        mag = (24.0 * p2 * p2 - 6.0 * p1 * p1) * k_sig
+        gmag = jnp.where(r_norm > 1e-5, mag * rs * (1.0 / h), 0.0)
         vi = ivals["vi"]
         dot = jnp.zeros_like(r2)
         for a in range(dim):
@@ -154,9 +155,8 @@ def _tile_math(mode, dim, h, k_sig, k6, params, fast_math,
     vi = ivals["vi"]
 
     # grad W = gmag * r_vec;  1/(r_norm h) = rs / h
-    mag = jnp.where(q <= 0.5, k6 * q * (3.0 * q - 2.0), -k6 * fac * fac)
-    gvalid = (r_norm > 1e-5) & (q <= 1.0)
-    gmag = jnp.where(gvalid, mag * rs * (1.0 / h), 0.0)
+    mag = (24.0 * p2 * p2 - 6.0 * p1 * p1) * k_sig
+    gmag = jnp.where(r_norm > 1e-5, mag * rs * (1.0 / h), 0.0)
 
     fl = jrow(_FL)[None, :]
     bd = jrow(_BD)[None, :]
@@ -217,7 +217,6 @@ def _sweep_kernel(
     strides = np.asarray(spec.strides)
     res = np.asarray(spec.res)
     k_sig = cubic_kernel_sigma(dim, h)
-    k6 = 6.0 * k_sig
 
     xi = [ipack_ref[_X + a, :] for a in range(dim)]  # dim x (B,)
     # integer cell coords as exact f32, per-axis scalar constants only
@@ -313,7 +312,7 @@ def _sweep_kernel(
                 dx.append(d_a)
                 r2 = r2 + d_a * d_a
             valid = (idw >= c_lo) & (idw <= c_hi) & (g != own) & (r2 < h * h)
-            return _tile_math(mode, dim, h, k_sig, k6, params, fast_math,
+            return _tile_math(mode, dim, h, k_sig, params, fast_math,
                               ivals, jrow, dx, r2, valid, acc_in)
 
         acc = jax.lax.fori_loop(0, pl.cdiv(wl, tile), tile_body, acc)
@@ -458,8 +457,9 @@ class SegMeta(NamedTuple):
     meta: jax.Array  # (ceil8(block_cap), 128) i32 — per-row scalars (VMEM)
     iblk: jax.Array  # (ceil8(block_cap),) i32 — i-slab index, units of block
     wblk: jax.Array  # (ceil8(block_cap)*rows,) i32 — fetch index of each
-    #                  2*window fetch per (block, stencil row), in units of
-    #                  ``window`` (pl.Element dim: index map scales by it)
+    #                  ``window``-lane fetch per (block, stencil row), in
+    #                  units of the 128-lane grid (pl.Element dim: the index
+    #                  map scales by _LANE)
 
 
 def seg_block_meta(
@@ -470,19 +470,19 @@ def seg_block_meta(
     """(SegMeta, need) for the seg layout.
 
     Per logical block b (grid.seg_plan) and stencil row, the candidate
-    window [start, end) of one neighbor column is addressed as: a 2*window
-    fetch at ``wblk * window`` (BlockSpec index — units of ``window``), an
-    in-fetch 128-aligned base ``dq``, and lane bounds relative to that base.
+    window [start, end) of one neighbor column is addressed as: a
+    ``window``-lane fetch starting at the 128-aligned floor of ``start``
+    (BlockSpec Element index in units of the 128-lane grid), plus lane
+    bounds relative to that base.
 
     meta columns per row:
 
-    - cols [0, rows):        dq — in-fetch base, multiple of 128
-    - cols [rows, 2*rows):   delta = start - (wblk*window + dq), in [0, 128);
+    - cols [rows, 2*rows):   delta = start - floor128(start), in [0, 128);
       lanes below delta belong to lower z-cells of the PREVIOUS grid row and
       must be excluded in-kernel (their own stencil rows cover them)
-    - cols [2*rows, 3*rows): len = end - (wblk*window + dq); lanes at/after
+    - cols [2*rows, 3*rows): len = end - floor128(start); lanes at/after
       it likewise belong to the next row / padding
-    - cols [3*rows, 4*rows): g0 = wblk*window + dq — global j index of the
+    - cols [3*rows, 4*rows): g0 = floor128(start) — global j index of the
       base lane (self-pair exclusion)
     - col 127: i_offset (sharded halo-extended i side; 0 single-device)
 
@@ -498,32 +498,26 @@ def seg_block_meta(
     n = sorted_ids.shape[0]
     window = min(window, n)  # must mirror _run_sweep_seg's effective window
     rows = spec.num_rows
-    res = np.asarray(spec.res)
     strides = np.asarray(spec.strides)
-    res_z = int(res[-1])
     offsets = _row_offsets(spec)
 
-    r = plan.row_of
-    lead = []
-    rem = r
-    for a in range(spec.dim - 1):
-        ls = int(strides[a]) // res_z  # row-space stride of axis a
-        lead.append(rem // ls)
-        rem = rem % ls
-    z_lo = jnp.maximum(plan.z_first - 1, 0)
-    z_hi = jnp.minimum(plan.z_last + 1, res_z - 1)
+    # Candidate window per stencil offset O = o . strides[:-1]: the block's
+    # own ids span [id_first, id_last], and a particle with cell id c has
+    # offset-O targets in [c + O - 1, c + O + 1] (z +/- 1 in flat id
+    # space), so the union over the block is [id_first + O - 1,
+    # id_last + O + 1], clipped into the grid.  Out-of-grid targets clip to
+    # empty/superset windows; geometric validity (per-axis bounds, z
+    # clamping) is the KERNEL's per-pair cell-id test — which multi-row
+    # (sparse-run) blocks need anyway to keep adjacent offsets'
+    # overlapping windows from double counting.
     act = plan.seg_len > 0
-
     q_lo, q_hi = [], []
     for o in offsets:
-        valid = act
-        base = jnp.zeros_like(r)
-        for a in range(spec.dim - 1):
-            nb = lead[a] + int(o[a])
-            valid = valid & (nb >= 0) & (nb < int(res[a]))
-            base = base + jnp.clip(nb, 0, int(res[a] - 1)) * int(strides[a])
-        q_lo.append(jnp.where(valid, base + z_lo, spec.num_cells))
-        q_hi.append(jnp.where(valid, base + z_hi, -1))
+        off = int(np.dot(o, strides[: spec.dim - 1])) if spec.dim > 1 else 0
+        lo = jnp.clip(plan.id_first + off - 1, 0, spec.num_cells)
+        hi = jnp.clip(plan.id_last + off + 1, -1, spec.num_cells - 1)
+        q_lo.append(jnp.where(act, lo, spec.num_cells))
+        q_hi.append(jnp.where(act, hi, -1))
     q_lo = jnp.stack(q_lo, axis=1)  # (block_cap, rows)
     q_hi = jnp.stack(q_hi, axis=1)
     # CSR-bounds gathers instead of searchsorted: ~3x cheaper on the v5e
@@ -536,20 +530,20 @@ def seg_block_meta(
     starts = bounds[jnp.clip(q_lo, 0, spec.num_cells)].astype(jnp.int32)
     ends = bounds[jnp.clip(q_hi + 1, 0, spec.num_cells)].astype(jnp.int32)
 
-    ws128 = (starts // _LANE) * _LANE  # floor128(start): in-fetch base
+    ws128 = (starts // _LANE) * _LANE  # floor128(start): the fetch base
     need = jnp.max(jnp.maximum(ends - ws128, 0))
-    # fetch index in units of ``window``; the index map multiplies by the
-    # static window so Mosaic can prove the element offset is lane-aligned
-    wblk = ws128 // window
-    dq = ws128 - wblk * window  # multiple of 128, in [0, window)
+    # fetch index in units of the 128-lane grid; the index map multiplies
+    # by _LANE so Mosaic can prove the element offset is lane-aligned.
+    # Fetching exactly ``window`` lanes from the quantised start (instead
+    # of 2*window from a window-aligned base) halves the window DMA bytes.
+    wblk = ws128 // _LANE
     delta = starts - ws128      # [0, 128)
-    lens = jnp.clip(ends - ws128, 0, 2 * window - dq)  # stay inside the fetch
+    lens = jnp.clip(ends - ws128, 0, window)  # stay inside the fetch
 
     block_cap = plan.seg_start.shape[0]
     meta = jnp.zeros((block_cap, 128), jnp.int32)
     meta = (
-        meta.at[:, 0:rows].set(dq)
-        .at[:, rows : 2 * rows].set(delta)
+        meta.at[:, rows : 2 * rows].set(delta)
         .at[:, 2 * rows : 3 * rows].set(lens)
         .at[:, 3 * rows : 4 * rows].set(ws128)
         .at[:, _IOFF].set(jnp.asarray(i_offset, jnp.int32))
@@ -567,7 +561,7 @@ def _seg_sweep_kernel(
     meta_ref,       # (8, 128) i32 VMEM tile; row (blk % 8), see seg_block_meta
     ipack_ref,      # (16, B) VMEM — this block's i-slab (pipelined by Mosaic
     #                 via the iblk scalar-prefetch index map)
-    *win_and_out,   # rows x (16, 2W) VMEM window fetches, then out (B, 8)
+    *win_and_out,   # rows x (16, W) VMEM window fetches, then out (B, 8)
     mode: str,
     spec: GridSpec,
     params: SolverParams,
@@ -576,20 +570,23 @@ def _seg_sweep_kernel(
     tile: int,
     fast_math: bool = True,
 ):
-    """Seg-layout sweep: logical blocks confined to one grid row, windows =
-    exact single-column [z_first-1, z_last+1] runs.  Membership is decided
-    by ``r2 < h^2`` alone (plus the window bounds): within one column, any
-    particle outside a given i's z range is >= one full cell away in z, and
-    different stencil rows read different columns so no pair repeats.
+    """Seg-layout sweep over anchor-confined logical blocks (grid.seg_plan:
+    dense rows get their own z-trimmed blocks; sparse-row runs share
+    multi-row blocks).  Membership = the per-pair cell-id test (each j must
+    lie in THIS stencil offset's cell range of its i — computed from
+    sort-time ids on both sides, so the structure stays consistent under
+    resort_every amortization) AND ``r2 < h^2`` with current positions.
+    The id test is what keeps a multi-row block's overlapping
+    adjacent-offset windows from double counting.
 
     All operands arrive through scalar-prefetch-indexed BlockSpecs (the
     block-sparse kernel pattern): Mosaic's pipeline prefetches the i-slab
     and the 9 (3D) window fetches for block k+1 while block k computes, and
     skips re-fetching windows whose index repeats across consecutive blocks
-    (adjacent blocks of one grid row share neighbor columns).  The kernel
+    (adjacent blocks of one anchor share neighbor windows).  The kernel
     body is pure compute — no manual DMA, no conditionals.
 
-    Overlap/overhang i-lanes (neighboring rows' particles at the block's
+    Overlap/overhang i-lanes (neighboring anchors' particles at the block's
     edges) compute garbage that the caller's back map discards."""
     rows = spec.num_rows
     win_refs = win_and_out[:rows]
@@ -597,7 +594,9 @@ def _seg_sweep_kernel(
     dim = spec.dim
     h = params.support_length
     k_sig = cubic_kernel_sigma(dim, h)
-    k6 = 6.0 * k_sig
+    res = np.asarray(spec.res)
+    strides = np.asarray(spec.strides)
+    offsets = _row_offsets(spec)
 
     blk = pl.program_id(0)
     mrow = jax.lax.rem(blk, 8)
@@ -605,6 +604,13 @@ def _seg_sweep_kernel(
 
     irow = lambda rr: ipack_ref[rr, :]  # (B,)
     xi = [irow(_X + a) for a in range(dim)]
+    # sort-time cell coords decoded from the packed id row (i32-exact:
+    # num_cells < 2^24 is enforced at bind)
+    rem = irow(_ID).astype(jnp.int32)
+    ci = []
+    for s in strides:
+        ci.append(rem // int(s))
+        rem = jax.lax.rem(rem, jnp.int32(int(s)))
     # own index in j-array coordinates: compact position of each i lane
     own = (
         i_off + iblk_ref[blk] * block
@@ -637,21 +643,40 @@ def _seg_sweep_kernel(
         )
 
     acc = acc0
-    for row in range(rows):  # static unroll: 9 (3D) / 3 (2D) rows
-        dq = pl.multiple_of(meta_ref[mrow, row], _LANE)  # in-fetch base
+    for row in range(rows):  # static unroll: 9 (3D) / 3 (2D) stencil offsets
         delta = meta_ref[mrow, rows + row]
         wl = meta_ref[mrow, 2 * rows + row]
         g0 = meta_ref[mrow, 3 * rows + row]
         wref = win_refs[row]
 
-        def tile_body(t, acc_in, wref=wref, dq=dq, delta=delta, wl=wl, g0=g0):
-            jrow = lambda rr: wref[rr, pl.ds(dq + t * tile, tile)]  # (T,)
+        # per-i inclusive cell-id range [c_lo, c_hi] for this stencil
+        # offset (from SORT-TIME coords — consistent with the window ids)
+        o = offsets[row]
+        valid_row = None
+        base = jnp.zeros((block,), jnp.int32)
+        for a in range(dim - 1):
+            nb = ci[a] + int(o[a])
+            va = (nb >= 0) & (nb < int(res[a]))
+            valid_row = va if valid_row is None else (valid_row & va)
+            base = base + jnp.clip(nb, 0, int(res[a] - 1)) * int(strides[a])
+        z = ci[dim - 1]
+        z_lo = jnp.maximum(z - 1, 0)
+        z_hi = jnp.minimum(z + 1, int(res[-1]) - 1)
+        if valid_row is None:
+            valid_row = jnp.ones((block,), jnp.bool_)
+        c_lo = jnp.where(valid_row, base + z_lo, 1).astype(jnp.float32)[:, None]
+        c_hi = jnp.where(valid_row, base + z_hi, 0).astype(jnp.float32)[:, None]
+
+        def tile_body(t, acc_in, wref=wref, delta=delta, wl=wl, g0=g0,
+                      c_lo=c_lo, c_hi=c_hi):
+            jrow = lambda rr: wref[rr, pl.ds(t * tile, tile)]  # (T,)
             if mode == "probe":
                 # diagnostic: fetch + loop + one touch per lane — measures
                 # the sweep's fixed costs without the pair math
                 return (acc_in[0] + jnp.sum(jrow(_X)),) + acc_in[1:]
             off = t * tile + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
             g = g0 + off
+            idw = jrow(_ID)[None, :]
 
             dx = []
             r2 = jnp.zeros((block, tile), jnp.float32)
@@ -659,12 +684,16 @@ def _seg_sweep_kernel(
                 d_a = xi[a][:, None] - jrow(_X + a)[None, :]  # (B, T)
                 dx.append(d_a)
                 r2 = r2 + d_a * d_a
-            # lanes below delta (quantisation spill into the previous grid
-            # row) and at/after wl (overrun into the next) belong to OTHER
-            # columns that their own stencil rows cover — exclude, else
-            # those pairs would be double-counted.
-            valid = (off >= delta) & (off < wl) & (g != own) & (r2 < h * h)
-            return _tile_math(mode, dim, h, k_sig, k6, params, fast_math,
+            # the id-range test assigns every j to exactly ONE stencil
+            # offset per i (cell ranges of different offsets are disjoint
+            # cells), so no pair double-counts even when a multi-row
+            # block's adjacent-offset windows overlap; the window bounds
+            # [delta, wl) exclude the quantisation spill / overrun lanes.
+            valid = (
+                (off >= delta) & (off < wl) & (g != own)
+                & (idw >= c_lo) & (idw <= c_hi) & (r2 < h * h)
+            )
+            return _tile_math(mode, dim, h, k_sig, params, fast_math,
                               ivals, jrow, dx, r2, valid, acc_in)
 
         acc = jax.lax.fori_loop(0, pl.cdiv(wl, tile), tile_body, acc)
@@ -682,10 +711,10 @@ def _run_sweep_seg(pack, meta: "SegMeta", mode, spec, params, block, window,
     num_blocks = meta.meta.shape[0]  # ceil8(block_cap); padded rows no-op
     out_cols = 8
     # pad the j array so every indexed fetch stays in bounds: window fetches
-    # read [wblk*W, wblk*W + 2W) with wblk <= ceil(n/W) - 1, i-slabs read
-    # [iblk*block, +block) with iblk <= floor((n-1)/block)
+    # read [wblk*128, wblk*128 + W) with wblk*128 <= ceil128(n), i-slabs
+    # read [iblk*block, +block) with iblk <= floor((n-1)/block)
     w_eff = min(window, n)
-    padded = (-(-n // w_eff) + 1) * w_eff
+    padded = -(-n // _LANE) * _LANE + w_eff
     pack_j = jnp.pad(pack, ((0, 0), (0, padded - n)))
     kern = functools.partial(
         _seg_sweep_kernel,
@@ -693,14 +722,15 @@ def _run_sweep_seg(pack, meta: "SegMeta", mode, spec, params, block, window,
         block=block, window=w_eff, tile=tile,
         fast_math=fast_math and not interpret,
     )
-    # dim 1 uses Element indexing: the index map returns the window-aligned
-    # ELEMENT start of the 2W fetch (overlapping fetches with stride W can't
-    # be expressed in Blocked units of 2W)
+    # dim 1 uses Element indexing: the index map returns the 128-aligned
+    # ELEMENT start of the W-lane fetch (the index multiplies by _LANE so
+    # Mosaic can prove lane alignment; overlapping stride-128 fetches can't
+    # be expressed in Blocked units)
     win_spec = [
         pl.BlockSpec(
-            (pl.Element(F_ROWS), pl.Element(2 * w_eff)),
+            (pl.Element(F_ROWS), pl.Element(w_eff)),
             functools.partial(
-                lambda k, iblk, wblk, row: (0, wblk[k * rows + row] * w_eff),
+                lambda k, iblk, wblk, row: (0, wblk[k * rows + row] * _LANE),
                 row=row,
             ),
             memory_space=pltpu.VMEM,
