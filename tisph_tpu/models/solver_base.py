@@ -126,18 +126,20 @@ class SolverBase:
         return state
 
     def _bind_seg(self, state: SimState, cfg):
-        """Resolve the seg-layout static capacities from the initial state:
-        the logical-block capacity (in particle slots, block_cap * block;
-        generous headroom — each newly wetted grid row costs one block) and
-        the single-column window cap (measured from one device seg pass —
-        far smaller than the linear-layout window, so the DMA scratch and
-        per-row fetches shrink accordingly)."""
+        """Resolve the seg-layout static capacities by MEASURING the
+        initial state (one device seg pass): the logical-block capacity is
+        the measured block need with modest slack — every padded block is
+        dispatched with its 9 window fetches whether used or not, so loose
+        static headroom is a permanent per-step cost; run()'s adaptive
+        grow/shrink handles drift at runtime — and the window cap is the
+        measured longest 128-quantised window with 1.5x slack."""
         import dataclasses as _dc
 
         from tisph_tpu.ops.pallas import sweeps as psweeps
 
         block = cfg.block_size
-        if cfg.pad_capacity <= 0:
+        user_pad = cfg.pad_capacity > 0
+        if not user_pad:
             cfg = _dc.replace(
                 cfg,
                 pad_capacity=gridops.suggest_block_capacity(state, self.spec, block),
@@ -154,7 +156,11 @@ class SolverBase:
             return need, plan.need_blocks
 
         need, nblocks = (int(v) for v in jax.device_get(_measure(state)))
-        if nblocks > block_cap:
+        if not user_pad:
+            cfg = _dc.replace(
+                cfg, pad_capacity=(int(nblocks * 1.25) + 256) * block
+            )
+        elif nblocks > block_cap:
             cfg = _dc.replace(cfg, pad_capacity=(nblocks + 2048) * block)
         t = cfg.tile
         wcap = int(-(-(int(need * 1.5) + 128) // t) * t)

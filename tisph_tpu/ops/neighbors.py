@@ -56,7 +56,12 @@ class SweepConfig:
     chunk_size: int | None = None  # gather impl: i-axis chunk
     block_size: int = 128          # blocked/pallas impl: particles per block
     window_cap: int = 1024         # blocked/pallas impl: candidate window length
-    tile: int = 128                # pallas impl: inner j-tile (lanes)
+    tile: int = 256                # pallas impl: inner j-tile (lanes).
+    #                                256 measured best on the v5e with the
+    #                                W-lane fetches (halves tile-loop
+    #                                iterations at equal padding; 128 was
+    #                                better before the fetch-width change,
+    #                                512 over-pads ~700-lane windows)
     interpret: bool = False        # pallas impl: interpreter mode (CPU tests)
     fast_math: bool = True         # pallas impl: approx reciprocals on the
     #                                viscosity-only divides (~2^-12 rel err
