@@ -34,10 +34,12 @@ def _main_once(scene_path: str, steps: int) -> int:
     n = int(jax.device_get(state.num_active))
 
     # Amortized resort (seg layout): rebuild sort/plan/meta every R substeps
-    # (measured on demo_3d @200 steps: R=3 position RMSE = 0.12 h, p99 =
-    # 0.34 h vs per-substep resort — tools/compare_resort.py).  R=1 restores
-    # the reference's exact per-substep cadence (BENCH_RESORT=1).
-    resort = int(os.environ.get("BENCH_RESORT", "3"))
+    # (measured on demo_3d @200 steps vs per-substep resort,
+    # tools/compare_resort.py: R=2 position RMSE = 0.13 h / p99 = 0.50 h;
+    # R=3 RMSE = 0.29 h / p99 = 1.08 h.  With the rebuild down to ~13 ms,
+    # R=2 costs only ~4% throughput over R=3 for half the divergence).
+    # R=1 restores the reference's exact per-substep cadence (BENCH_RESORT=1).
+    resort = int(os.environ.get("BENCH_RESORT", "2"))
     if (
         resort > 1
         and solver.sweep_cfg is not None

@@ -86,16 +86,24 @@ def main() -> int:
         from tisph_tpu import checkpoint
         state = checkpoint.load_npz(args.resume)
         print(f"resumed from {args.resume}: {int(state.num_active)} particles")
-    if (
-        args.resort > 1
-        and solver.sweep_cfg is not None
-        and solver.sweep_cfg.impl == "pallas"
-        and solver.sweep_cfg.layout == "seg"
-    ):
-        import dataclasses as _dc
-        solver.sweep_cfg = _dc.replace(
-            solver.sweep_cfg, resort_every=args.resort
-        )
+    if args.resort > 1:
+        if rigid is not None or scene.emitters:
+            # rollout_coupled / rollout_emit rebuild every substep
+            print("warning: --resort has no effect on rigid/emitter scenes "
+                  "(their rollouts rebuild the neighbor structure every "
+                  "substep)", file=sys.stderr)
+        elif (
+            solver.sweep_cfg is not None
+            and solver.sweep_cfg.impl == "pallas"
+            and solver.sweep_cfg.layout == "seg"
+        ):
+            import dataclasses as _dc
+            solver.sweep_cfg = _dc.replace(
+                solver.sweep_cfg, resort_every=args.resort
+            )
+        else:
+            print("warning: --resort applies only to the pallas seg sweep "
+                  f"path (active: {solver.sweep_cfg.impl})", file=sys.stderr)
     print(f"grid: res={solver.spec.res} run_cap={solver.spec.run_cap} "
           f"dt={solver.params.dt} sweep={solver.sweep_cfg.impl}")
 

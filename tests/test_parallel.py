@@ -226,3 +226,33 @@ def test_halo_overflow_detected_and_regrown():
     np.testing.assert_allclose(
         key(o1.x, a1).mean(axis=0), key(o2.x, a2).mean(axis=0), atol=0.05
     )
+
+
+def test_sharded_seg_matches_blocked():
+    """The seg layout inside shard_map (the flagship single-chip kernels,
+    per shard, windows over the halo-extended array) must reproduce the
+    blocked-sharded trajectory."""
+    from tisph_tpu.ops.neighbors import SweepConfig
+
+    scene = _scene(radius=0.04)
+    mesh = make_mesh(4)
+    s_b = ShardedWCSPH(
+        scene, mesh,
+        sweep_cfg=SweepConfig(impl="blocked", block_size=128, window_cap=1024),
+    )
+    st_b = s_b.bind(tt.build_state(scene))
+    s_p = ShardedWCSPH(
+        scene, mesh,
+        sweep_cfg=SweepConfig(impl="pallas", block_size=128, window_cap=1152,
+                              tile=128, interpret=True, layout="seg"),
+    )
+    st_p = s_p.bind(tt.build_state(scene))
+    assert s_p.sweep_cfg.pad_capacity > 0  # bind sized the per-shard pad
+    for _ in range(3):
+        st_b = s_b.step(st_b)
+        st_p = s_p.step(st_p)
+    ob, op = jax.device_get(st_b), jax.device_get(st_p)
+    assert (np.asarray(ob.material) == np.asarray(op.material)).all()
+    f = np.asarray(ob.material) == 1
+    assert np.abs(np.asarray(ob.x) - np.asarray(op.x))[f].max() < 1e-5
+    assert int(op.occ_rowpad) > 0  # the pad diagnostic is live

@@ -94,8 +94,13 @@ class SolverBase:
             wcap = max(128, -(-int(window * 1.5) // 128) * 128)
             impl = "pallas" if jax.default_backend() == "tpu" else "blocked"
             layout = self.pallas_layout if impl == "pallas" else "linear"
+            # 2D windows are small single-column runs; a 256-lane tile
+            # over-pads them ~33% (measured: 2D configs regressed 4.4 ->
+            # 3.1e6 pps when 256 became the 3D default)
+            tile = 128 if self.scene.dim == 2 else 256
             self.sweep_cfg = SweepConfig(
-                impl=impl, block_size=block, window_cap=wcap, layout=layout
+                impl=impl, block_size=block, window_cap=wcap, layout=layout,
+                tile=tile,
             )
         if self.sweep_cfg.impl == "pallas":
             # pallas kernel constraints: window multiple of tile, capacity
@@ -331,7 +336,8 @@ class SolverBase:
 
         done = 0
         budget_s = 25.0
-        low_checks = 0  # consecutive low-occupancy checks (cap shrink)
+        low_checks = 0      # consecutive low-occupancy checks (cap shrink)
+        pad_low_checks = 0  # same, for the seg block pad
         warm: set[int] = set()  # chunk sizes whose rollout is compiled
         cap_chunk = max(1, min(check_every, max_dispatch))
         while done < num_steps:
@@ -377,10 +383,13 @@ class SolverBase:
                             else ""
                         )
                     )
-            elif occ > 0 and occ < 0.4 * cap:
+            elif occ > 0 and occ < 0.4 * cap and int(occ * grow) + 384 < cap:
                 # transient spikes (splash compression) force the cap up and
                 # the DMA/scratch cost would stay pinned forever; shrink
-                # back after sustained low occupancy (hysteresis: 3 checks)
+                # back after sustained low occupancy (hysteresis: 3 checks).
+                # The +384 headroom guarantees the tile/lane quantisation
+                # inside regrow() lands strictly BELOW the current cap
+                # (otherwise a "shrink" could round back up — or past — it).
                 low_checks += 1
                 if low_checks >= 3:
                     self.regrow(int(occ * grow))
@@ -396,6 +405,7 @@ class SolverBase:
                 pad_cap = int(cfg.pad_capacity)
                 if pad_occ > warn_frac * pad_cap:
                     self.regrow(new_pad=int(max(pad_occ, pad_cap) * grow))
+                    pad_low_checks = 0
                     if verbose:
                         print(
                             f"[tisph] seg block occupancy {pad_occ} "
@@ -406,12 +416,19 @@ class SolverBase:
                 elif pad_occ > 0 and pad_occ < 0.5 * pad_cap:
                     # every padded block is dispatched (grid covers
                     # block_cap, not need_blocks) — shrink when spray
-                    # settles so unused blocks stop costing fetches
-                    self.regrow(new_pad=int(pad_occ * grow))
-                    if verbose:
-                        print(f"[tisph] seg block occupancy {pad_occ} well "
-                              f"under cap {pad_cap}; shrunk to "
-                              f"{self.sweep_cfg.pad_capacity}")
+                    # settles so unused blocks stop costing fetches; same
+                    # hysteresis as the window shrink (a single low check
+                    # mid-splash would thrash grow/shrink recompiles)
+                    pad_low_checks += 1
+                    if pad_low_checks >= 3:
+                        self.regrow(new_pad=int(pad_occ * grow))
+                        pad_low_checks = 0
+                        if verbose:
+                            print(f"[tisph] seg block occupancy {pad_occ} "
+                                  f"well under cap {pad_cap}; shrunk to "
+                                  f"{self.sweep_cfg.pad_capacity}")
+                else:
+                    pad_low_checks = 0
             if (self.sweep_cfg, self.spec) != caps_before:
                 warm.clear()  # regrow dropped the compiled rollouts
             state = _dc.replace(
@@ -422,12 +439,18 @@ class SolverBase:
         return state
 
     def regrow(self, new_window: int | None = None, new_pad: int | None = None) -> None:
-        """Raise the sweep/run capacity (``new_window``) and/or the rowpad
-        padded capacity (``new_pad``) and drop ALL compiled artifacts
+        """Re-capacitate the sweep/run window (``new_window``) and/or the
+        seg block pad (``new_pad``) and drop ALL compiled artifacts
         (including subclass-cached jits like WCSPHRigid's coupled step —
-        anything stored in an attribute ending in ``_jit``)."""
+        anything stored in an attribute ending in ``_jit``).
+
+        A NO-OP when quantisation lands on the current capacities: tile
+        rounding can map a requested shrink back onto the same cap, and
+        dropping the jits then would recompile (~30-60 s tunneled) for
+        nothing — run()'s hysteresis shrink relies on this guard."""
         import dataclasses as _dc
 
+        before = (self.sweep_cfg, self.spec)
         cfg = self.sweep_cfg
         if new_window is not None:
             if cfg is not None and cfg.impl == "gather":
@@ -439,10 +462,11 @@ class SolverBase:
                 margin = 128 if cfg.impl == "pallas" else 0  # lane quantisation
                 wcap = int(-(-(new_window + margin) // t) * t)
                 self.sweep_cfg = cfg = _dc.replace(cfg, window_cap=wcap)
-        if new_pad is not None:
-            block = cfg.block_size if cfg is not None else 128
-            pcap = int(-(-new_pad // block) * block)
+        if new_pad is not None and cfg is not None:
+            pcap = int(-(-new_pad // cfg.block_size) * cfg.block_size)
             self.sweep_cfg = _dc.replace(cfg, pad_capacity=pcap)
+        if (self.sweep_cfg, self.spec) == before:
+            return
         for name in [k for k in vars(self) if k.endswith("_jit")]:
             setattr(self, name, None)
 

@@ -55,10 +55,11 @@ class SimState:
     occ_window: jax.Array = dataclasses.field(
         default_factory=lambda: np.zeros((), np.int32)
     )
-    # () i32 — running max of the rowpad-layout slot requirement
-    # (grid.rowpad_plan pad_need); compared against the static
-    # SweepConfig.pad_capacity by SolverBase.run, same contract as
-    # occ_window.  Zero when the layout is not 'rowpad'.
+    # () i32 — running max of the seg layout's block-slot requirement
+    # (grid.seg_plan need_blocks * block_size, folded by WCSPH._seg_build);
+    # compared against the static SweepConfig.pad_capacity by
+    # SolverBase.run, same contract as occ_window.  Zero when the layout
+    # is not 'seg'.
     occ_rowpad: jax.Array = dataclasses.field(
         default_factory=lambda: np.zeros((), np.int32)
     )

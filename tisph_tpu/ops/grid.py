@@ -357,17 +357,6 @@ def seg_plan(
     )
 
 
-def decode_cell_ids(ids: jax.Array, spec: GridSpec) -> jax.Array:
-    """Flat cell ids -> integer cell coords (inverse of flat_cell_ids);
-    sentinel/overflow ids clip to the last cell."""
-    rem = jnp.minimum(ids, spec.num_cells - 1)
-    coords = []
-    for s in spec.strides:
-        coords.append(rem // s)
-        rem = rem % s
-    return jnp.stack(coords, axis=-1)
-
-
 def suggest_block_capacity(
     state: SimState, spec: GridSpec, block: int = 128, slack: float = 2.0
 ) -> int:

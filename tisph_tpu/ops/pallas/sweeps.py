@@ -421,22 +421,9 @@ def force_sweep(pack, meta, spec, params, block, window, tile=256,
     return out[:, : spec.dim]
 
 
-def bvol_sweep(pack, meta, spec, params, block, window, tile=256,
-               interpret=False, ipack=None, fast_math=True):
-    """Akinci boundary-volume denominator delta_i = W(0) + sum_{j bnd} W;
-    caller takes 1/delta and masks to boundary particles."""
-    out = _run_sweep(pack, meta, "bvol", spec, params, block, window, tile,
-                     interpret, ipack, fast_math)
-    return out[:, 0]
-
-
-def reaction_sweep(pack, meta, spec, params, block, window, tile=256,
-                   interpret=False, ipack=None, fast_math=True):
-    """Fluid->boundary reaction force (forces.rigid_reaction_kernel);
-    caller masks to boundary particles."""
-    out = _run_sweep(pack, meta, "reaction", spec, params, block, window,
-                     tile, interpret, ipack, fast_math)
-    return out[:, : spec.dim]
+# (the bvol/reaction modes are exposed only through the seg wrappers below
+# — the rigid coupled step's non-seg configurations use the jnp blocked
+# path, so linear-layout wrappers would be dead code)
 
 
 # ---------------------------------------------------------------------------
@@ -711,10 +698,14 @@ def _run_sweep_seg(pack, meta: "SegMeta", mode, spec, params, block, window,
     num_blocks = meta.meta.shape[0]  # ceil8(block_cap); padded rows no-op
     out_cols = 8
     # pad the j array so every indexed fetch stays in bounds: window fetches
-    # read [wblk*128, wblk*128 + W) with wblk*128 <= ceil128(n), i-slabs
-    # read [iblk*block, +block) with iblk <= floor((n-1)/block)
+    # read [wblk*128, wblk*128 + W_f) with wblk*128 <= ceil128(n), i-slabs
+    # read [iblk*block, +block) with iblk <= floor((n-1)/block).  The fetch
+    # width is rounded UP to a tile multiple: w_eff = min(window, n) may
+    # not be one (window_cap can exceed a small capacity), and the last
+    # tile's dynamic slice must not read past the window block.
     w_eff = min(window, n)
-    padded = -(-n // _LANE) * _LANE + w_eff
+    w_fetch = -(-w_eff // tile) * tile
+    padded = -(-n // _LANE) * _LANE + w_fetch
     pack_j = jnp.pad(pack, ((0, 0), (0, padded - n)))
     kern = functools.partial(
         _seg_sweep_kernel,
@@ -728,7 +719,7 @@ def _run_sweep_seg(pack, meta: "SegMeta", mode, spec, params, block, window,
     # be expressed in Blocked units)
     win_spec = [
         pl.BlockSpec(
-            (pl.Element(F_ROWS), pl.Element(w_eff)),
+            (pl.Element(F_ROWS), pl.Element(w_fetch)),
             functools.partial(
                 lambda k, iblk, wblk, row: (0, wblk[k * rows + row] * _LANE),
                 row=row,

@@ -100,14 +100,19 @@ class ShardedWCSPH(SolverBase):
             # even when the default backend is a TPU)
             platform = self.mesh.devices.ravel()[0].platform
             impl = "pallas" if platform == "tpu" else "blocked"
-            self.sweep_cfg = SweepConfig(impl=impl, block_size=block, window_cap=wcap)
+            layout = "seg" if impl == "pallas" else "linear"
+            tile = 128 if self.scene.dim == 2 else 256
+            self.sweep_cfg = SweepConfig(
+                impl=impl, block_size=block, window_cap=wcap, layout=layout,
+                tile=tile,
+            )
         if self.sweep_cfg.impl == "pallas":
             import dataclasses as _dc
 
             cfg = self.sweep_cfg
             wcap = int(-(-(cfg.window_cap + 128) // cfg.tile) * cfg.tile)
             if wcap != cfg.window_cap:
-                self.sweep_cfg = _dc.replace(cfg, window_cap=wcap)
+                self.sweep_cfg = cfg = _dc.replace(cfg, window_cap=wcap)
             if self.spec.num_cells >= 2**24:
                 raise ValueError("pallas sweep needs num_cells < 2**24")
         state = self._precompute_boundary_volumes(state)
@@ -137,6 +142,25 @@ class ShardedWCSPH(SolverBase):
             )
             h = max(128, -(-int(reach * 2.0) // 128) * 128)
             self.halo = min(h, (self.n_shards - 1) * self._shard_rows) if self.n_shards > 1 else 128
+        cfg = self.sweep_cfg
+        if (
+            cfg.impl == "pallas" and cfg.layout == "seg"
+            and cfg.pad_capacity <= 0
+        ):
+            # per-SHARD seg block capacity: local slab blocks + anchor
+            # fragmentation headroom (run() regrows on occ_rowpad overflow)
+            import dataclasses as _dc
+
+            blocks = -(-self._shard_rows // cfg.block_size)
+            self.sweep_cfg = _dc.replace(
+                cfg,
+                pad_capacity=(int(blocks * 1.3) + 256) * cfg.block_size,
+            )
+        # halo must stay a multiple of the block size: seg i-slab indices
+        # are offset by off // block (both extension paths)
+        if self.halo % self.sweep_cfg.block_size:
+            b = self.sweep_cfg.block_size
+            self.halo = -(-self.halo // b) * b
         return self.shard_state(state)
 
     def shard_state(self, state: SimState) -> SimState:
@@ -293,19 +317,72 @@ class ShardedWCSPH(SolverBase):
             # Neutralised edge chunks (-1 / num_cells) make the global head
             # and tail trivially covered.
             ranges = gridops.cell_target_ranges(coords_l, spec)
-            act = (ids_l < spec.num_cells)[:, None]
-            valid = act & (ranges[..., 0] <= ranges[..., 1])
-            q_lo = jnp.where(valid, ranges[..., 0], spec.num_cells)
-            q_hi = jnp.where(valid, ranges[..., 1], -1)
-            lo_min = jnp.min(q_lo)
-            hi_max = jnp.max(q_hi)
-            halo_flag = (
-                ((lo_min < spec.num_cells) & (ids_e[0] >= lo_min))
-                | ((hi_max >= 0) & (ids_e[-1] <= hi_max))
-            ).astype(jnp.int32)
-            halo_flag = jax.lax.pmax(halo_flag, ax) if self.n_shards > 1 else halo_flag
+            full_cover = hops > 2 or hops >= self.n_shards - 1
+            if full_cover:
+                # all_gather path (or a halo deep enough to reach every
+                # other shard): coverage is total by construction — the
+                # edge test below would false-trip on the shards holding
+                # the global head/tail (their stencils reach past the
+                # lowest/highest real ids) and livelock regrow_halo.
+                halo_flag = jnp.zeros((), jnp.int32)
+            else:
+                act = (ids_l < spec.num_cells)[:, None]
+                valid = act & (ranges[..., 0] <= ranges[..., 1])
+                q_lo = jnp.where(valid, ranges[..., 0], spec.num_cells)
+                q_hi = jnp.where(valid, ranges[..., 1], -1)
+                lo_min = jnp.min(q_lo)
+                hi_max = jnp.max(q_hi)
+                halo_flag = (
+                    ((lo_min < spec.num_cells) & (ids_e[0] >= lo_min))
+                    | ((hi_max >= 0) & (ids_e[-1] <= hi_max))
+                ).astype(jnp.int32)
+                if self.n_shards > 1:
+                    halo_flag = jax.lax.pmax(halo_flag, ax)
 
-            if scfg.impl == "pallas":
+            pad_need = jnp.zeros((), jnp.int32)
+            if scfg.impl == "pallas" and scfg.layout == "seg":
+                from tisph_tpu.ops.pallas import sweeps as ps
+
+                # the flagship seg kernels, per shard: the plan partitions
+                # the LOCAL slab (a contiguous chunk of the global sorted
+                # array — partially cut boundary rows just become partial
+                # anchors), while windows search the halo-EXTENDED array.
+                # i-slabs are addressed inside the extended pack by
+                # offsetting the plan's block indices (off is a multiple of
+                # block on both extension paths), which also makes the
+                # kernel's self-pair `own` index land in j coordinates.
+                block_cap = scfg.pad_capacity // scfg.block_size
+                bounds_l = gridops.csr_bounds_hist(ids_l, spec)
+                plan = gridops.seg_plan(
+                    ids_l, spec, scfg.block_size, block_cap, bounds=bounds_l
+                )
+                pad_need = (plan.need_blocks * scfg.block_size).astype(jnp.int32)
+                bounds_e = gridops.csr_bounds_hist(ids_e, spec)
+                meta, need = ps.seg_block_meta(
+                    plan, ids_e, spec, scfg.block_size, scfg.window_cap,
+                    bounds=bounds_e,
+                )
+                meta = meta._replace(iblk=meta.iblk + off // scfg.block_size)
+                pack_ext = ps.pack_state(
+                    f_ext["x"], f_ext["v"], f_ext["density"], f_ext["pressure"],
+                    f_ext["mass"], f_ext["volume"], f_ext["material"], ids_e,
+                    params,
+                )
+                fn = (ps.density_sweep_seg if mode == "density"
+                      else ps.force_sweep_seg)
+                out_blk = fn(pack_ext, meta, spec, params, scfg.block_size,
+                             scfg.window_cap, tile=scfg.tile,
+                             interpret=scfg.interpret,
+                             fast_math=scfg.fast_math)
+                if mode == "density":
+                    acc = {"rho": jnp.where(
+                        plan.back_valid, out_blk[plan.back_idx], density
+                    )}
+                else:
+                    acc = {"dv": jnp.where(
+                        plan.back_valid[:, None], out_blk[plan.back_idx], 0.0
+                    )}
+            elif scfg.impl == "pallas":
                 from tisph_tpu.ops.pallas import sweeps as ps
 
                 meta, need = ps.block_meta(
@@ -343,12 +420,16 @@ class ShardedWCSPH(SolverBase):
                     scfg.window_cap, x_i=x, i_offset=off,
                 )
             need = need.astype(jnp.int32)
-            need = jax.lax.pmax(need, ax) if self.n_shards > 1 else need
+            if self.n_shards > 1:
+                need = jax.lax.pmax(need, ax)
+                pad_need = jax.lax.pmax(pad_need, ax)
             if mode == "density":
                 fluid = material == 1
-                return jnp.where(fluid, acc["rho"], density), halo_flag, need
+                return (jnp.where(fluid, acc["rho"], density),
+                        halo_flag, need, pad_need)
             fluid = (material == 1)[:, None]
-            return jnp.where(fluid, acc["dv"], 0.0), halo_flag, need
+            return (jnp.where(fluid, acc["dv"], 0.0),
+                    halo_flag, need, pad_need)
 
         scalar_spec = P()  # pmax'd over shards -> replicated
 
@@ -356,14 +437,14 @@ class ShardedWCSPH(SolverBase):
             jax.shard_map,
             mesh=self.mesh,
             in_specs=(axis_spec,) + (axis_spec,) * len(_FIELD_KEYS),
-            out_specs=(axis_spec, scalar_spec, scalar_spec),
+            out_specs=(axis_spec, scalar_spec, scalar_spec, scalar_spec),
             check_vma=False,
         )
         def density_shard(ids_l, *fields):
             return sweep_shard("density", dens_k, ids_l, *fields)
 
         f = F.state_fields(state)
-        density, hflag_d, need_d = density_shard(
+        density, hflag_d, need_d, pad_d = density_shard(
             sorted_ids, *[f[k] for k in _FIELD_KEYS]
         )
         rho, pressure = tait_pressure(
@@ -375,14 +456,14 @@ class ShardedWCSPH(SolverBase):
             jax.shard_map,
             mesh=self.mesh,
             in_specs=(axis_spec,) + (axis_spec,) * len(_FIELD_KEYS),
-            out_specs=(axis_spec, scalar_spec, scalar_spec),
+            out_specs=(axis_spec, scalar_spec, scalar_spec, scalar_spec),
             check_vma=False,
         )
         def force_shard(ids_l, *fields):
             return sweep_shard("force", force_k, ids_l, *fields)
 
         f = F.state_fields(state)
-        d_velocity, hflag_f, need_f = force_shard(
+        d_velocity, hflag_f, need_f, pad_f = force_shard(
             sorted_ids, *[f[k] for k in _FIELD_KEYS]
         )
 
@@ -393,6 +474,10 @@ class ShardedWCSPH(SolverBase):
             occ_halo=jnp.maximum(
                 jnp.asarray(state.occ_halo, jnp.int32),
                 jnp.maximum(hflag_d, hflag_f).astype(jnp.int32),
+            ),
+            occ_rowpad=jnp.maximum(
+                jnp.asarray(state.occ_rowpad, jnp.int32),
+                jnp.maximum(pad_d, pad_f).astype(jnp.int32),
             ),
         )
 
@@ -406,11 +491,14 @@ class ShardedWCSPH(SolverBase):
         Called by :meth:`run` when ``occ_halo`` trips — fluid migrated
         across slabs until some shard's stencil reach exceeded the depth
         measured at bind (dam-break pile-up concentrates particles into few
-        x-slabs, so the reach GROWS over a run)."""
+        x-slabs, so the reach GROWS over a run).  A no-op when already at
+        the cap (recompiling then would make no progress)."""
         h = int(new_halo if new_halo is not None else self.halo * 2)
         h = max(128, -(-h // 128) * 128)
         if self.n_shards > 1:
             h = min(h, (self.n_shards - 1) * self._shard_rows)
+        if h == self.halo:
+            return
         self.halo = h
         for name in [k for k in vars(self) if k.endswith("_jit")]:
             setattr(self, name, None)
@@ -450,10 +538,21 @@ class ShardedWCSPH(SolverBase):
                           f"{'exceeded' if occ > cap else 'approaching'} cap "
                           f"{cap}; re-capacitated to "
                           f"{self.sweep_cfg.window_cap} (recompile)")
+            cfg_s = self.sweep_cfg
+            if cfg_s is not None and cfg_s.layout == "seg":
+                pad_occ = int(jax.device_get(state.occ_rowpad))
+                pad_cap = int(cfg_s.pad_capacity)
+                if pad_cap and pad_occ > warn_frac * pad_cap:
+                    self.regrow(new_pad=int(max(pad_occ, pad_cap) * grow))
+                    if verbose:
+                        print(f"[tisph] shard seg block occupancy {pad_occ} "
+                              f"over cap {pad_cap}; re-capacitated to "
+                              f"{self.sweep_cfg.pad_capacity} (recompile)")
             state = dataclasses.replace(
                 state,
                 occ_window=jnp.zeros((), jnp.int32),
                 occ_halo=jnp.zeros((), jnp.int32),
+                occ_rowpad=jnp.zeros((), jnp.int32),
             )
         return state
 
