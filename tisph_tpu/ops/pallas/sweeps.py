@@ -46,6 +46,8 @@ from tisph_tpu.ops.kernels import cubic_kernel_sigma
 F_ROWS = 16
 _X, _V, _RHO, _P, _M, _VOL, _FL, _BD, _EFFM, _ID = 0, 3, 6, 7, 8, 9, 10, 11, 12, 13
 _PRHO2 = 14
+_FLM = 15  # fl * m (precomputed: the force tile's fluid-mass coefficient;
+#            bd * rho0 * V falls out as _EFFM - _FLM)
 _LANE = 128  # window starts are quantised to this lane grid
 
 
@@ -75,7 +77,8 @@ def pack_state(
     rows[_VOL] = volume
     rows[_FL] = fl
     rows[_BD] = bd
-    rows[_EFFM] = fl * mass + bd * (params.density0 * volume)
+    rows[_FLM] = fl * mass
+    rows[_EFFM] = rows[_FLM] + bd * (params.density0 * volume)
     rows[_ID] = sorted_ids.astype(jnp.float32)
     rows[_PRHO2] = pressure / jnp.maximum(density * density, 1e-12)
     return jnp.stack(rows, axis=0)
@@ -158,12 +161,11 @@ def _tile_math(mode, dim, h, k_sig, params, fast_math,
     mag = (24.0 * p2 * p2 - 6.0 * p1 * p1) * k_sig
     gmag = jnp.where(r_norm > 1e-5, mag * rs * (1.0 / h), 0.0)
 
-    fl = jrow(_FL)[None, :]
-    bd = jrow(_BD)[None, :]
-    m_j = jrow(_M)[None, :]
+    # flm = fl * m_j (precomputed row); bd * rho0 * V_j = EFFM - flm
+    flm = jrow(_FLM)[None, :]
+    bdv = jrow(_EFFM)[None, :] - flm
     rho_j = jrow(_RHO)[None, :]
     p_rho2_j = jrow(_PRHO2)[None, :]
-    bvol_j = params.density0 * jrow(_VOL)[None, :]
 
     dot = jnp.zeros_like(r2)
     for a in range(dim):
@@ -179,14 +181,14 @@ def _tile_math(mode, dim, h, k_sig, params, fast_math,
         dot_neg = jnp.minimum(dot, 0.0) / (r2 + 0.01 * h * h)
         inv_rho_sum = 1.0 / (rho_i + rho_j)
 
-    coh_coef = -(params.surface_tension * inv_m_i) * fl * m_j * w
+    coh_coef = -(params.surface_tension * inv_m_i) * flm * w
     nu_f = (2.0 * params.viscosity * h * params.c_s) * inv_rho_sum
-    grad_coef = fl * m_j * nu_f * dot_neg
+    grad_coef = flm * nu_f * dot_neg
     nu_b = params.boundary_sigma * h * params.c_s / (2.0 * rho_i)
-    grad_coef = grad_coef + bd * bvol_j * nu_b * dot_neg
+    grad_coef = grad_coef + bdv * nu_b * dot_neg
     p_term_f = p_rho2_i + p_rho2_j
-    grad_coef = grad_coef - fl * m_j * p_term_f
-    grad_coef = grad_coef - bd * bvol_j * p_rho2_i
+    grad_coef = grad_coef - flm * p_term_f
+    grad_coef = grad_coef - bdv * p_rho2_i
 
     coef = jnp.where(valid, grad_coef * gmag + coh_coef, 0.0)
     return tuple(
