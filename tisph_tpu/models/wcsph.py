@@ -183,14 +183,19 @@ class WCSPH(SolverBase):
     def _seg_apply(self, state: SimState, cache) -> SimState:
         """One physics step against a (possibly stale) seg structure.
 
-        The seg kernels test candidates with ``r2 < h^2`` against CURRENT
-        positions only — no sort-time cell-id test — so a cached structure
-        stays exact for every pair whose sort-time separation was under one
-        cell (= the support radius).  A pair can only be missed once
-        particles have moved enough that its sort-time distance exceeded
-        the cell while its current distance is under h; the kernel weight
-        there is O((2*delta/h)^3) — the same order as the fast_math
-        viscosity approximation for CFL-bounded motion over a few substeps
+        Pair membership in the seg kernels is the SORT-TIME cell-id test
+        (each j's sorted id must lie in the stencil-offset cell range of
+        its i, ops/pallas/sweeps.py::_seg_sweep_kernel) AND ``r2 < h^2``
+        against CURRENT positions.  Under resort_every amortization both
+        sides of the id test use the cached sort-time ids, so the
+        candidate set is exactly the set of pairs whose SORT-TIME cells
+        were within one cell (= the support radius); current positions
+        only tighten it.  A pair is therefore missed only when motion
+        since the last rebuild brought its current distance under h while
+        its sort-time cell separation exceeded one cell — which needs
+        sort-time distance > h, so the missed kernel weight is
+        O((2*delta_moved/h)^3) for CFL-bounded motion over a few substeps
+        — the same order as the fast_math viscosity approximation
         (measured in tests/test_seg.py::test_amortized_resort_divergence)."""
         import jax.numpy as jnp
 
