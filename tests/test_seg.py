@@ -28,13 +28,13 @@ from tisph_tpu.ops.pallas import sweeps as ps
 from test_pallas import _scene
 
 
-def _seg_setup(scene, cap=2048, pad_cap=8192, block=128, wcap=512):
+def _seg_setup(scene, cap=2048, pad_cap=8192, block=128, wcap=512, mxu=False):
     state = tt.build_state(scene)
     solver = tt.WCSPH(
         scene,
         sweep_cfg=SweepConfig(impl="pallas", block_size=block, window_cap=wcap,
                               tile=128, interpret=_INTERPRET, layout="seg",
-                              pad_capacity=pad_cap),
+                              pad_capacity=pad_cap, mxu=mxu),
     )
     state = solver.bind(pad_state_capacity(state, cap))
     spec, params, scfg = solver.spec, solver.params, solver.sweep_cfg
@@ -47,6 +47,7 @@ def _seg_setup(scene, cap=2048, pad_cap=8192, block=128, wcap=512):
     pack = ps.pack_state(
         state_s.x, state_s.v, state_s.density, state_s.pressure,
         state_s.mass, state_s.volume, state_s.material, ids, params,
+        origin=solver._pack_origin(),
     )
     return solver, state_s, ids, plan, meta, pack
 
@@ -86,14 +87,15 @@ def test_seg_plan_is_consistent(dim):
 
 
 @pytest.mark.parametrize("dim", [2, 3])
-def test_seg_density_matches_bruteforce(dim):
+@pytest.mark.parametrize("mxu", [False, True])
+def test_seg_density_matches_bruteforce(dim, mxu):
     scene = _scene(dim=dim)
-    solver, state_s, ids, plan, meta, pack = _seg_setup(scene)
+    solver, state_s, ids, plan, meta, pack = _seg_setup(scene, mxu=mxu)
     spec, params, scfg = solver.spec, solver.params, solver.sweep_cfg
 
     rho_blk = ps.density_sweep_seg(
         pack, meta, spec, params, scfg.block_size, scfg.window_cap,
-        tile=scfg.tile, interpret=_INTERPRET,
+        tile=scfg.tile, interpret=_INTERPRET, mxu=scfg.mxu,
     )
     rho_p = np.asarray(rho_blk[plan.back_idx])
 
@@ -114,9 +116,10 @@ def test_seg_density_matches_bruteforce(dim):
     np.testing.assert_allclose(rho_p[fluid], rho_brute[fluid], rtol=2e-5)
 
 
-def test_seg_force_matches_blocked():
+@pytest.mark.parametrize("mxu", [False, True])
+def test_seg_force_matches_blocked(mxu):
     scene = _scene()
-    solver, state_s, ids, plan, meta, pack = _seg_setup(scene)
+    solver, state_s, ids, plan, meta, pack = _seg_setup(scene, mxu=mxu)
     spec, params, scfg = solver.spec, solver.params, solver.sweep_cfg
 
     scfg_b = SweepConfig(impl="blocked", block_size=128, window_cap=1024)
@@ -129,12 +132,16 @@ def test_seg_force_matches_blocked():
     dv_b = np.asarray(F.compute_forces(state_s, nd, spec, params, scfg_b))
     dv_blk = ps.force_sweep_seg(
         pack, meta, spec, params, scfg.block_size, scfg.window_cap,
-        tile=scfg.tile, interpret=_INTERPRET,
+        tile=scfg.tile, interpret=_INTERPRET, mxu=scfg.mxu,
     )
     dv_p = np.asarray(dv_blk[plan.back_idx])
     fluid = np.asarray(state_s.material) == 1
     scale = np.abs(dv_b[fluid]).max()
-    np.testing.assert_allclose(dv_p[fluid] / scale, dv_b[fluid] / scale, atol=5e-6)
+    # mxu: the Gram-matmul r2 / expanded reductions reassociate f32 sums;
+    # error bound |x_c|^2 * eps / r^2 ~ 1e-5 relative (sweeps._TileGeom)
+    np.testing.assert_allclose(
+        dv_p[fluid] / scale, dv_b[fluid] / scale, atol=2e-5 if mxu else 5e-6
+    )
 
 
 def test_seg_step_matches_blocked_trajectory():

@@ -207,6 +207,19 @@ class SolverBase:
     def _step_fn(self, state: SimState) -> SimState:
         raise NotImplementedError
 
+    def _pack_origin(self) -> tuple[float, ...] | None:
+        """Static origin subtracted from the pack's position rows on the
+        seg pallas path: the MXU tile geometry needs centered coordinates
+        (sweeps._TileGeom); None disables centering (VPU mode keeps the
+        round-2 bit-exact behavior)."""
+        cfg = self.sweep_cfg
+        if cfg is None or not getattr(cfg, "mxu", False):
+            return None
+        return tuple(
+            (s + e) * 0.5
+            for s, e in zip(self.scene.domain_start, self.scene.domain_end)
+        )
+
     @staticmethod
     def _track_occ(state: SimState, need) -> SimState:
         """Fold this step's required window length into the running

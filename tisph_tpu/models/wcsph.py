@@ -207,10 +207,11 @@ class WCSPH(SolverBase):
         pack = ps.pack_state(
             state.x, state.v, state.density, state.pressure,
             state.mass, state.volume, state.material, sorted_ids, params,
+            origin=self._pack_origin(),
         )
 
         kw = dict(tile=scfg.tile, interpret=scfg.interpret,
-                  fast_math=scfg.fast_math)
+                  fast_math=scfg.fast_math, mxu=scfg.mxu)
         if self.boundary_mode == "per_step":
             state, pack = self._seg_boundary_volume(state, pack, plan, meta, kw)
         rho_blk = ps.density_sweep_seg(

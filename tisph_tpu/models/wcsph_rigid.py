@@ -87,11 +87,12 @@ class WCSPHRigid(WCSPH):
         state, cache = self._seg_build(state)
         plan, meta, sorted_ids = cache
         kw = dict(tile=scfg.tile, interpret=scfg.interpret,
-                  fast_math=scfg.fast_math)
+                  fast_math=scfg.fast_math, mxu=scfg.mxu)
 
         pack = ps.pack_state(
             state.x, state.v, state.density, state.pressure,
             state.mass, state.volume, state.material, sorted_ids, params,
+            origin=self._pack_origin(),
         )
         state, pack = self._seg_boundary_volume(state, pack, plan, meta, kw)
 

@@ -66,6 +66,14 @@ class SweepConfig:
     fast_math: bool = True         # pallas impl: approx reciprocals on the
     #                                viscosity-only divides (~2^-12 rel err
     #                                on a heuristic dissipation term)
+    mxu: bool = False              # pallas seg impl: compute pair r2 / the
+    #                                velocity-position dot / the per-axis
+    #                                force reductions as 3-wide Gram matmuls
+    #                                on the MXU over origin-centered
+    #                                coordinates instead of VPU elementwise
+    #                                chains (f32-precision passes; error
+    #                                bounded by |x - origin|^2 * eps — see
+    #                                sweeps._TileGeom)
     layout: str = "linear"         # pallas impl: 'seg' partitions the sorted
     #                                array into row-confined logical blocks
     #                                (grid.seg_plan) so candidate windows

@@ -61,15 +61,23 @@ def pack_state(
     material: jax.Array,
     sorted_ids: jax.Array,
     params: SolverParams,
+    origin: tuple[float, ...] | None = None,
 ) -> jax.Array:
-    """Pack sorted per-particle fields into the transposed (16, N) array."""
+    """Pack sorted per-particle fields into the transposed (16, N) array.
+
+    ``origin`` (static): subtract it from the position rows.  The seg
+    kernels are translation-invariant in x (cell coords come from the ID
+    row), and the MXU geometry needs centered coordinates to bound the f32
+    cancellation of its Gram-matmul r2 (see :class:`_TileGeom`).  The
+    LINEAR kernel derives cell coords from positions and must be given
+    origin=None."""
     n, dim = x.shape
     fl = (material == MATERIAL_FLUID).astype(jnp.float32)
     bd = (material == MATERIAL_BOUNDARY).astype(jnp.float32)
     zero = jnp.zeros((n,), jnp.float32)
     rows = [zero] * F_ROWS
     for a in range(dim):
-        rows[_X + a] = x[:, a]
+        rows[_X + a] = x[:, a] - (origin[a] if origin is not None else 0.0)
         rows[_V + a] = v[:, a]
     rows[_RHO] = density
     rows[_P] = pressure
@@ -93,13 +101,106 @@ def repack_eos(pack: jax.Array, density: jax.Array, pressure: jax.Array) -> jax.
     )
 
 
+class _TileGeom(NamedTuple):
+    """Pair geometry + reduction provider for one (B, T) tile.
+
+    Two constructions exist: the VPU one materialises per-axis ``dx`` and
+    derives everything elementwise; the MXU one (``mxu=True``) computes
+    ``r2`` from a 3-wide Gram matmul over origin-centered coordinates,
+    the velocity-position ``dot`` from two more cross matmuls, and the
+    per-axis force reductions from the expansion
+    ``sum_j c*(xi-xj)[a] = xi[a]*sum_j c - sum_j c*xj[a]`` — so ``dx`` is
+    never materialised and ~12 VPU ops/pair move to the (otherwise idle)
+    MXU.  Centering bounds the f32 cancellation error of the Gram form
+    (|x_c| ~ domain/2 instead of |x|)."""
+
+    r2: jax.Array        # (B, T)
+    dot: object          # () -> (B, T) lazy sum_a (vi-vj)_a (xi-xj)_a
+    reduce_s: object     # (B, T) -> (B,) row sum
+    reduce_v: object     # (coef, acc_in) -> updated per-axis accumulators
+
+
+def _vpu_geom(dim, xi, vi, jrow):
+    dx = []
+    r2 = None
+    for a in range(dim):
+        d_a = xi[a][:, None] - jrow(_X + a)[None, :]  # (B, T)
+        dx.append(d_a)
+        r2 = d_a * d_a if r2 is None else r2 + d_a * d_a
+
+    def dot():
+        d = None
+        for a in range(dim):
+            t = (vi[a][:, None] - jrow(_V + a)[None, :]) * dx[a]
+            d = t if d is None else d + t
+        return d
+
+    def reduce_s(m):
+        return jnp.sum(m, axis=1)
+
+    def reduce_v(coef, acc_in):
+        return tuple(
+            acc_in[a] + jnp.sum(coef * dx[a], axis=1) for a in range(dim)
+        )
+
+    return _TileGeom(r2, dot, reduce_s, reduce_v)
+
+
+# f32 Gram matmuls need full-precision passes: the MXU's default bf16
+# truncation would put ~0.4% noise on coordinates — fatal for r2 = |xi|^2 +
+# |xj|^2 - 2 xi.xj where r2 ~ h^2 << |x_c|^2.
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _mxu_geom(dim, xi, vi, jslab):
+    """``jslab(row0, nrows)`` -> (nrows, T) contiguous sublane slice of the
+    current window tile; x rows are origin-centered at pack time."""
+    xiT = jnp.stack(xi, axis=0)            # (d, B) — from VMEM row reads
+    xjT = jslab(_X, dim)                   # (d, T)
+    xi_n2 = jnp.sum(xiT * xiT, axis=0)     # (B,)
+    xj_n2 = jnp.sum(xjT * xjT, axis=0)     # (T,)
+
+    def _cross(aT, bT):  # (d, B) x (d, T) -> (B, T), contracting d
+        return jax.lax.dot_general(
+            aT, bT, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_HI,
+        )
+
+    g_xx = _cross(xiT, xjT)
+    r2 = (xi_n2[:, None] - 2.0 * g_xx) + xj_n2[None, :]
+
+    def dot():  # vi is only non-None in the modes that call this
+        viT = jnp.stack(vi, axis=0)
+        vjT = jslab(_V, dim)
+        vx_ii = jnp.sum(viT * xiT, axis=0)           # (B,)
+        vx_jj = jnp.sum(vjT * xjT, axis=0)           # (T,)
+        return (vx_ii[:, None] - _cross(viT, xjT)) - (
+            _cross(xiT, vjT) - vx_jj[None, :]
+        )
+
+    def reduce_s(m):
+        return jnp.sum(m, axis=1)
+
+    def reduce_v(coef, acc_in):
+        s0 = jnp.sum(coef, axis=1)                   # (B,)
+        out = []
+        for a in range(dim):
+            sa = jnp.sum(coef * xjT[a][None, :], axis=1)
+            out.append(acc_in[a] + (xi[a] * s0 - sa))
+        return tuple(out)
+
+    return _TileGeom(r2, dot, reduce_s, reduce_v)
+
+
 def _tile_math(mode, dim, h, k_sig, params, fast_math,
-               ivals, jrow, dx, r2, valid, acc_in):
+               ivals, jrow, geom, valid, acc_in):
     """Per-pair physics shared by the linear and seg kernels: evaluates the
     cubic kernel and (mode='force') the fused non-pressure + pressure terms
     on one (B, T) tile.  ``ivals``: i-side operands (see callers); ``jrow``:
-    j-window row accessor; ``dx``/``r2``/``valid`` precomputed by the
-    caller.  Returns the updated accumulator tuple."""
+    j-window row accessor; ``geom``: pair geometry/reduction provider
+    (:class:`_TileGeom`); ``valid`` precomputed by the caller.  Returns the
+    updated accumulator tuple."""
+    r2 = geom.r2
     # one rsqrt replaces sqrt + divide: r_norm = r2 * rs, 1/r = rs
     rs = jax.lax.rsqrt(jnp.maximum(r2, 1e-12))
     r_norm = r2 * rs
@@ -110,30 +211,31 @@ def _tile_math(mode, dim, h, k_sig, params, fast_math,
     # selects, and the q > 1 cutoff comes free from the clamps.
     p1 = jnp.maximum(1.0 - q, 0.0)
     p2 = jnp.maximum(0.5 - q, 0.0)
-    w = (2.0 * p1 * p1 * p1 - 8.0 * p2 * p2 * p2) * k_sig
+    p1sq = p1 * p1
+    p2sq = p2 * p2
+    w = (2.0 * p1 * p1sq - 8.0 * p2 * p2sq) * k_sig
 
     if mode == "density":
         contrib = jrow(_EFFM)[None, :] * w
         (a0,) = acc_in
-        return (a0 + jnp.sum(jnp.where(valid, contrib, 0.0), axis=1),)
+        return (a0 + geom.reduce_s(jnp.where(valid, contrib, 0.0)),)
 
     if mode == "bvol":
         # Akinci boundary-volume denominator: delta_i = W(0) + sum_{j bnd} W
         # (sph_basev2.py:195-201); caller inverts and masks to boundary i.
         contrib = jrow(_BD)[None, :] * w
         (a0,) = acc_in
-        return (a0 + jnp.sum(jnp.where(valid, contrib, 0.0), axis=1),)
+        return (a0 + geom.reduce_s(jnp.where(valid, contrib, 0.0)),)
+
+    # grad W = gmag * r_vec;  1/(r_norm h) = rs / h
+    mag = (24.0 * p2sq - 6.0 * p1sq) * k_sig
+    gmag = jnp.where(r_norm > 1e-5, mag * rs * (1.0 / h), 0.0)
 
     if mode == "reaction":
         # fluid -> boundary reaction (forces.rigid_reaction_kernel):
         # F_i = bvol_i * sum_{j fluid} m_j (nu_b(rho_j) dot_neg - p/rho^2_j)
         #       gradW . r_vec    with bvol_i = rho0 V_i
-        mag = (24.0 * p2 * p2 - 6.0 * p1 * p1) * k_sig
-        gmag = jnp.where(r_norm > 1e-5, mag * rs * (1.0 / h), 0.0)
-        vi = ivals["vi"]
-        dot = jnp.zeros_like(r2)
-        for a in range(dim):
-            dot = dot + (vi[a][:, None] - jrow(_V + a)[None, :]) * dx[a]
+        dot = geom.dot()
         if fast_math:
             dot_neg = jnp.minimum(dot, 0.0) * pl.reciprocal(
                 r2 + 0.01 * h * h, approx=True
@@ -148,18 +250,12 @@ def _tile_math(mode, dim, h, k_sig, params, fast_math,
             nu_b * dot_neg - jrow(_PRHO2)[None, :]
         )
         coef = jnp.where(valid, ivals["bvol_i"] * coef * gmag, 0.0)
-        return tuple(
-            acc_in[a] + jnp.sum(coef * dx[a], axis=1) for a in range(dim)
-        )
+        return geom.reduce_v(coef, acc_in)
 
     rho_i = ivals["rho_i"]
     p_rho2_i = ivals["p_rho2_i"]
-    inv_m_i = ivals["inv_m_i"]
-    vi = ivals["vi"]
-
-    # grad W = gmag * r_vec;  1/(r_norm h) = rs / h
-    mag = (24.0 * p2 * p2 - 6.0 * p1 * p1) * k_sig
-    gmag = jnp.where(r_norm > 1e-5, mag * rs * (1.0 / h), 0.0)
+    coh_i = ivals["coh_i"]      # -surface_tension / m_i, hoisted per i
+    nu_b_i = ivals["nu_b_i"]    # sigma h c_s / (2 rho_i), hoisted per i
 
     # flm = fl * m_j (precomputed row); bd * rho0 * V_j = EFFM - flm
     flm = jrow(_FLM)[None, :]
@@ -167,9 +263,7 @@ def _tile_math(mode, dim, h, k_sig, params, fast_math,
     rho_j = jrow(_RHO)[None, :]
     p_rho2_j = jrow(_PRHO2)[None, :]
 
-    dot = jnp.zeros_like(r2)
-    for a in range(dim):
-        dot = dot + (vi[a][:, None] - jrow(_V + a)[None, :]) * dx[a]
+    dot = geom.dot()
     # both divides feed only the (heuristic) viscosity terms;
     # fast_math uses the VPU's approximate reciprocal (~2^-12 rel)
     if fast_math:
@@ -181,19 +275,49 @@ def _tile_math(mode, dim, h, k_sig, params, fast_math,
         dot_neg = jnp.minimum(dot, 0.0) / (r2 + 0.01 * h * h)
         inv_rho_sum = 1.0 / (rho_i + rho_j)
 
-    coh_coef = -(params.surface_tension * inv_m_i) * flm * w
     nu_f = (2.0 * params.viscosity * h * params.c_s) * inv_rho_sum
-    grad_coef = flm * nu_f * dot_neg
-    nu_b = params.boundary_sigma * h * params.c_s / (2.0 * rho_i)
-    grad_coef = grad_coef + bdv * nu_b * dot_neg
-    p_term_f = p_rho2_i + p_rho2_j
-    grad_coef = grad_coef - flm * p_term_f
-    grad_coef = grad_coef - bdv * p_rho2_i
-
-    coef = jnp.where(valid, grad_coef * gmag + coh_coef, 0.0)
-    return tuple(
-        acc_in[a] + jnp.sum(coef * dx[a], axis=1) for a in range(dim)
+    grad_coef = flm * (nu_f * dot_neg - (p_rho2_i + p_rho2_j)) + bdv * (
+        nu_b_i * dot_neg - p_rho2_i
     )
+    coef = jnp.where(valid, grad_coef * gmag + (coh_i * flm) * w, 0.0)
+    return geom.reduce_v(coef, acc_in)
+
+
+def _ivals_acc0(mode, dim, block, k_sig, params, irow):
+    """Per-i operands + initial accumulators, hoisted to the kernel
+    preamble (computed ONCE per block, not per tile): includes the force
+    tile's per-i viscosity/cohesion coefficients that used to cost a
+    divide + multiply per (pair, tile) iteration.  Returns a dict with the
+    mode's ``ivals`` plus an ``acc0`` entry the caller pops."""
+    h = params.support_length
+    if mode == "density":
+        return {"acc0": (irow(_M) * k_sig,)}  # m_i * W(0); W(0) = sigma
+    if mode == "bvol":
+        return {"acc0": (jnp.full((block,), k_sig, jnp.float32),)}  # W(0)
+    if mode == "probe":
+        return {"acc0": (jnp.zeros((block,), jnp.float32),)}
+    if mode == "reaction":
+        return {
+            "vi": [irow(_V + a) for a in range(dim)],
+            "bvol_i": (params.density0 * irow(_VOL))[:, None],
+            "acc0": tuple(jnp.zeros((block,), jnp.float32) for _ in range(dim)),
+        }
+    rho_i = irow(_RHO)
+    return {
+        "rho_i": rho_i[:, None],
+        "p_rho2_i": irow(_PRHO2)[:, None],
+        "coh_i": (
+            -(params.surface_tension * (1.0 / jnp.maximum(irow(_M), 1e-30)))
+        )[:, None],
+        "nu_b_i": (
+            params.boundary_sigma * h * params.c_s / (2.0 * rho_i)
+        )[:, None],
+        "vi": [irow(_V + a) for a in range(dim)],
+        "acc0": tuple(
+            jnp.full((block,), float(params.gravity[a]), jnp.float32)
+            for a in range(dim)
+        ),
+    }
 
 
 def _sweep_kernel(
@@ -242,29 +366,9 @@ def _sweep_kernel(
         + jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
     )
 
-    ivals = {}
-    if mode == "density":
-        m_i = ipack_ref[_M, :]
-        acc0 = (m_i * k_sig,)  # m_i * W(0); W(0) = sigma
-    elif mode == "bvol":
-        acc0 = (jnp.full((block,), k_sig, jnp.float32),)  # W(0)
-    elif mode == "reaction":
-        ivals = {
-            "vi": [ipack_ref[_V + a, :] for a in range(dim)],
-            "bvol_i": (params.density0 * ipack_ref[_VOL, :])[:, None],
-        }
-        acc0 = tuple(jnp.zeros((block,), jnp.float32) for _ in range(dim))
-    else:
-        ivals = {
-            "rho_i": ipack_ref[_RHO, :][:, None],
-            "p_rho2_i": ipack_ref[_PRHO2, :][:, None],
-            "inv_m_i": (1.0 / jnp.maximum(ipack_ref[_M, :], 1e-30))[:, None],
-            "vi": [ipack_ref[_V + a, :] for a in range(dim)],
-        }
-        acc0 = tuple(
-            jnp.full((block,), float(params.gravity[a]), jnp.float32)
-            for a in range(dim)
-        )
+    ivals = _ivals_acc0(mode, dim, block, k_sig, params, lambda r: ipack_ref[r, :])
+    acc0 = ivals.pop("acc0")
+    vi = ivals.get("vi")
 
     def dma(slot, row):
         # starts are host-quantised to the lane grid; tell Mosaic so
@@ -307,15 +411,13 @@ def _sweep_kernel(
             idw = jrow(_ID)[None, :]
             g = ws + t * tile + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
 
-            dx = []
-            r2 = jnp.zeros((block, tile), jnp.float32)
-            for a in range(dim):
-                d_a = xi[a][:, None] - jrow(_X + a)[None, :]  # (B, T)
-                dx.append(d_a)
-                r2 = r2 + d_a * d_a
-            valid = (idw >= c_lo) & (idw <= c_hi) & (g != own) & (r2 < h * h)
+            geom = _vpu_geom(dim, xi, vi, jrow)
+            valid = (
+                (idw >= c_lo) & (idw <= c_hi) & (g != own)
+                & (geom.r2 < h * h)
+            )
             return _tile_math(mode, dim, h, k_sig, params, fast_math,
-                              ivals, jrow, dx, r2, valid, acc_in)
+                              ivals, jrow, geom, valid, acc_in)
 
         acc = jax.lax.fori_loop(0, pl.cdiv(wl, tile), tile_body, acc)
 
@@ -558,6 +660,7 @@ def _seg_sweep_kernel(
     window: int,
     tile: int,
     fast_math: bool = True,
+    mxu: bool = False,
 ):
     """Seg-layout sweep over anchor-confined logical blocks (grid.seg_plan:
     dense rows get their own z-trimmed blocks; sparse-row runs share
@@ -606,30 +709,9 @@ def _seg_sweep_kernel(
         + jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
     )
 
-    ivals = {}
-    if mode == "density":
-        acc0 = (irow(_M) * k_sig,)  # m_i * W(0); W(0) = sigma
-    elif mode == "bvol":
-        acc0 = (jnp.full((block,), k_sig, jnp.float32),)  # W(0)
-    elif mode == "probe":
-        acc0 = (jnp.zeros((block,), jnp.float32),)
-    elif mode == "reaction":
-        ivals = {
-            "vi": [irow(_V + a) for a in range(dim)],
-            "bvol_i": (params.density0 * irow(_VOL))[:, None],
-        }
-        acc0 = tuple(jnp.zeros((block,), jnp.float32) for _ in range(dim))
-    else:
-        ivals = {
-            "rho_i": irow(_RHO)[:, None],
-            "p_rho2_i": irow(_PRHO2)[:, None],
-            "inv_m_i": (1.0 / jnp.maximum(irow(_M), 1e-30))[:, None],
-            "vi": [irow(_V + a) for a in range(dim)],
-        }
-        acc0 = tuple(
-            jnp.full((block,), float(params.gravity[a]), jnp.float32)
-            for a in range(dim)
-        )
+    ivals = _ivals_acc0(mode, dim, block, k_sig, params, irow)
+    acc0 = ivals.pop("acc0")
+    vi = ivals.get("vi")
 
     acc = acc0
     for row in range(rows):  # static unroll: 9 (3D) / 3 (2D) stencil offsets
@@ -667,12 +749,11 @@ def _seg_sweep_kernel(
             g = g0 + off
             idw = jrow(_ID)[None, :]
 
-            dx = []
-            r2 = jnp.zeros((block, tile), jnp.float32)
-            for a in range(dim):
-                d_a = xi[a][:, None] - jrow(_X + a)[None, :]  # (B, T)
-                dx.append(d_a)
-                r2 = r2 + d_a * d_a
+            if mxu:
+                jslab = lambda r0, nr: wref[r0:r0 + nr, pl.ds(t * tile, tile)]
+                geom = _mxu_geom(dim, xi, vi, jslab)
+            else:
+                geom = _vpu_geom(dim, xi, vi, jrow)
             # the id-range test assigns every j to exactly ONE stencil
             # offset per i (cell ranges of different offsets are disjoint
             # cells), so no pair double-counts even when a multi-row
@@ -680,10 +761,10 @@ def _seg_sweep_kernel(
             # [delta, wl) exclude the quantisation spill / overrun lanes.
             valid = (
                 (off >= delta) & (off < wl) & (g != own)
-                & (idw >= c_lo) & (idw <= c_hi) & (r2 < h * h)
+                & (idw >= c_lo) & (idw <= c_hi) & (geom.r2 < h * h)
             )
             return _tile_math(mode, dim, h, k_sig, params, fast_math,
-                              ivals, jrow, dx, r2, valid, acc_in)
+                              ivals, jrow, geom, valid, acc_in)
 
         acc = jax.lax.fori_loop(0, pl.cdiv(wl, tile), tile_body, acc)
 
@@ -694,7 +775,7 @@ def _seg_sweep_kernel(
 
 
 def _run_sweep_seg(pack, meta: "SegMeta", mode, spec, params, block, window,
-                   tile, interpret, fast_math=True):
+                   tile, interpret, fast_math=True, mxu=False):
     n = pack.shape[1]
     rows = spec.num_rows
     num_blocks = meta.meta.shape[0]  # ceil8(block_cap); padded rows no-op
@@ -714,6 +795,7 @@ def _run_sweep_seg(pack, meta: "SegMeta", mode, spec, params, block, window,
         mode=mode, spec=spec, params=params,
         block=block, window=w_eff, tile=tile,
         fast_math=fast_math and not interpret,
+        mxu=mxu,
     )
     # dim 1 uses Element indexing: the index map returns the 128-aligned
     # ELEMENT start of the W-lane fetch (the index multiplies by _LANE so
@@ -754,33 +836,33 @@ def _run_sweep_seg(pack, meta: "SegMeta", mode, spec, params, block, window,
 
 
 def density_sweep_seg(pack, meta: "SegMeta", spec, params, block, window,
-                      tile=256, interpret=False, fast_math=True):
+                      tile=256, interpret=False, fast_math=True, mxu=False):
     """Seg-layout density sweep; output in block-slot space
     (block_cap * block,) — gather back via SegPlan.back_idx."""
     out = _run_sweep_seg(pack, meta, "density", spec, params,
-                         block, window, tile, interpret, fast_math)
+                         block, window, tile, interpret, fast_math, mxu)
     return out[:, 0]
 
 
 def force_sweep_seg(pack, meta: "SegMeta", spec, params, block, window,
-                    tile=256, interpret=False, fast_math=True):
+                    tile=256, interpret=False, fast_math=True, mxu=False):
     """Seg-layout fused force sweep; output in block-slot space."""
     out = _run_sweep_seg(pack, meta, "force", spec, params,
-                         block, window, tile, interpret, fast_math)
+                         block, window, tile, interpret, fast_math, mxu)
     return out[:, : spec.dim]
 
 
 def bvol_sweep_seg(pack, meta: "SegMeta", spec, params, block, window,
-                   tile=256, interpret=False, fast_math=True):
+                   tile=256, interpret=False, fast_math=True, mxu=False):
     """Seg-layout boundary-volume denominator; block-slot space."""
     out = _run_sweep_seg(pack, meta, "bvol", spec, params,
-                         block, window, tile, interpret, fast_math)
+                         block, window, tile, interpret, fast_math, mxu)
     return out[:, 0]
 
 
 def reaction_sweep_seg(pack, meta: "SegMeta", spec, params, block, window,
-                       tile=256, interpret=False, fast_math=True):
+                       tile=256, interpret=False, fast_math=True, mxu=False):
     """Seg-layout fluid->boundary reaction force; block-slot space."""
     out = _run_sweep_seg(pack, meta, "reaction", spec, params,
-                         block, window, tile, interpret, fast_math)
+                         block, window, tile, interpret, fast_math, mxu)
     return out[:, : spec.dim]

@@ -41,6 +41,8 @@ def main():
     ap.add_argument("--tile", type=int, default=None)
     ap.add_argument("--window", type=int, default=None)
     ap.add_argument("--layout", choices=["linear", "seg"], default=None)
+    ap.add_argument("--mxu", type=int, default=None,
+                    help="seg layout: 1/0 force the MXU tile geometry on/off")
     ap.add_argument("--settle", type=int, default=50,
                     help="steps to run before measuring (mid-collapse state)")
     ap.add_argument("--resort", type=int, default=1,
@@ -56,12 +58,13 @@ def main():
         solver.pallas_layout = args.layout
     state = solver.bind(state)
     scfg = solver.sweep_cfg
-    if args.block or args.tile or args.window:
+    if args.block or args.tile or args.window or args.mxu is not None:
         scfg = dataclasses.replace(
             scfg,
             block_size=args.block or scfg.block_size,
             tile=args.tile or scfg.tile,
             window_cap=args.window or scfg.window_cap,
+            mxu=bool(args.mxu) if args.mxu is not None else scfg.mxu,
         )
         solver.sweep_cfg = scfg
         state = solver.bind(state)
@@ -94,7 +97,7 @@ def main():
     pack_fn = jax.jit(
         lambda st, ids: ps.pack_state(
             st.x, st.v, st.density, st.pressure, st.mass, st.volume,
-            st.material, ids, params,
+            st.material, ids, params, origin=solver._pack_origin(),
         )
     )
     t_pack = timeit(pack_fn, (st_s, ids), args.reps)
@@ -122,11 +125,11 @@ def main():
         )
         dens_fn = lambda pack, meta: ps.density_sweep_seg(
             pack, meta, spec, params, scfg.block_size, scfg.window_cap,
-            tile=scfg.tile, fast_math=scfg.fast_math,
+            tile=scfg.tile, fast_math=scfg.fast_math, mxu=scfg.mxu,
         )
         force_fn = lambda pack, meta: ps.force_sweep_seg(
             pack, meta, spec, params, scfg.block_size, scfg.window_cap,
-            tile=scfg.tile, fast_math=scfg.fast_math,
+            tile=scfg.tile, fast_math=scfg.fast_math, mxu=scfg.mxu,
         )
     else:
         meta_fn = jax.jit(
