@@ -227,9 +227,12 @@ def _tile_math(mode, dim, h, k_sig, params, fast_math,
         (a0,) = acc_in
         return (a0 + geom.reduce_s(jnp.where(valid, contrib, 0.0)),)
 
-    # grad W = gmag * r_vec;  1/(r_norm h) = rs / h
+    # grad W = gmag * r_vec;  1/(r_norm h) = rs / h.  No small-r guard:
+    # mag -> 0 linearly as q -> 0, so mag * rs stays bounded (the former
+    # r_norm > 1e-5 select only nulled the self pair, which the own test
+    # already excludes in the modes that use gmag).
     mag = (24.0 * p2sq - 6.0 * p1sq) * k_sig
-    gmag = jnp.where(r_norm > 1e-5, mag * rs * (1.0 / h), 0.0)
+    gmag = mag * rs * (1.0 / h)
 
     if mode == "reaction":
         # fluid -> boundary reaction (forces.rigid_reaction_kernel):
@@ -290,11 +293,13 @@ def _ivals_acc0(mode, dim, block, k_sig, params, irow):
     divide + multiply per (pair, tile) iteration.  Returns a dict with the
     mode's ``ivals`` plus an ``acc0`` entry the caller pops."""
     h = params.support_length
-    if mode == "density":
-        return {"acc0": (irow(_M) * k_sig,)}  # m_i * W(0); W(0) = sigma
-    if mode == "bvol":
-        return {"acc0": (jnp.full((block,), k_sig, jnp.float32),)}  # W(0)
-    if mode == "probe":
+    if mode in ("density", "bvol"):
+        # self term rides IN the sweep: j = i passes the id test, W(0) =
+        # k_sig, and effm_i = m_i for the fluid i the density output is
+        # kept for (bd_i = 1 for the boundary i bvol keeps) — so these
+        # modes need no self-exclusion test at all.
+        return {"acc0": (jnp.zeros((block,), jnp.float32),)}
+    if mode in ("probe", "probe_noloop"):
         return {"acc0": (jnp.zeros((block,), jnp.float32),)}
     if mode == "reaction":
         return {
@@ -408,14 +413,22 @@ def _sweep_kernel(
 
         def tile_body(t, acc_in, slot=slot, ws=ws, c_lo=c_lo, c_hi=c_hi):
             jrow = lambda r: jbuf[slot, r, pl.ds(t * tile, tile)]  # (T,)
+            if mode == "probe":
+                # diagnostic: DMA + loop + one touch per lane (fixed costs)
+                return (acc_in[0] + jnp.sum(jrow(_X)),) + acc_in[1:]
             idw = jrow(_ID)[None, :]
-            g = ws + t * tile + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
 
             geom = _vpu_geom(dim, xi, vi, jrow)
-            valid = (
-                (idw >= c_lo) & (idw <= c_hi) & (g != own)
-                & (geom.r2 < h * h)
-            )
+            # id-range test alone (see the seg kernel for why the r2
+            # cutoff and window bounds are redundant); self-exclusion only
+            # for the gradient modes (density/bvol fold the self W(0)
+            # term into the sweep, _ivals_acc0)
+            valid = (idw >= c_lo) & (idw <= c_hi)
+            if mode in ("force", "reaction"):
+                g = ws + t * tile + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, tile), 1
+                )
+                valid = valid & (g != own)
             return _tile_math(mode, dim, h, k_sig, params, fast_math,
                               ivals, jrow, geom, valid, acc_in)
 
@@ -738,6 +751,12 @@ def _seg_sweep_kernel(
         c_lo = jnp.where(valid_row, base + z_lo, 1).astype(jnp.float32)[:, None]
         c_hi = jnp.where(valid_row, base + z_hi, 0).astype(jnp.float32)[:, None]
 
+        if mode == "probe_noloop":
+            # fixed-cost probe minus the tile loops: one static touch per
+            # row buffer so the fetches aren't dead
+            acc = (acc[0] + wref[_X, 0],) + acc[1:]
+            continue
+
         def tile_body(t, acc_in, wref=wref, delta=delta, wl=wl, g0=g0,
                       c_lo=c_lo, c_hi=c_hi):
             jrow = lambda rr: wref[rr, pl.ds(t * tile, tile)]  # (T,)
@@ -745,8 +764,6 @@ def _seg_sweep_kernel(
                 # diagnostic: fetch + loop + one touch per lane — measures
                 # the sweep's fixed costs without the pair math
                 return (acc_in[0] + jnp.sum(jrow(_X)),) + acc_in[1:]
-            off = t * tile + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
-            g = g0 + off
             idw = jrow(_ID)[None, :]
 
             if mxu:
@@ -754,15 +771,27 @@ def _seg_sweep_kernel(
                 geom = _mxu_geom(dim, xi, vi, jslab)
             else:
                 geom = _vpu_geom(dim, xi, vi, jrow)
-            # the id-range test assigns every j to exactly ONE stencil
-            # offset per i (cell ranges of different offsets are disjoint
-            # cells), so no pair double-counts even when a multi-row
-            # block's adjacent-offset windows overlap; the window bounds
-            # [delta, wl) exclude the quantisation spill / overrun lanes.
-            valid = (
-                (off >= delta) & (off < wl) & (g != own)
-                & (idw >= c_lo) & (idw <= c_hi) & (geom.r2 < h * h)
-            )
+            # Membership is the id-range test ALONE: it assigns every j to
+            # exactly ONE stencil offset per i (cell ranges of different
+            # offsets are disjoint cells), so no pair double-counts even
+            # when a multi-row block's adjacent-offset windows overlap.
+            # The former [delta, wl) window bounds are subsumed by it —
+            # the window ends ARE the CSR bounds of the block-level id
+            # range, quantisation-spill/overrun lanes hold real particles
+            # whose ids fall outside [c_lo, c_hi], and zero-padding lanes
+            # carry zero mass/material flags so every mode's contribution
+            # vanishes there.  The r2 < h^2 cutoff is exact in the spline
+            # clamps themselves (W and dW/dq are exactly 0 for q >= 1).
+            # Self-exclusion (g != own) is only needed by the gradient
+            # modes: density/bvol WANT the self W(0) term (see
+            # _ivals_acc0), and for j = i the gradient contribution is
+            # coh_i * flm * w(0), which must be masked.
+            valid = (idw >= c_lo) & (idw <= c_hi)
+            if mode in ("force", "reaction"):
+                off = t * tile + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, tile), 1
+                )
+                valid = valid & ((g0 + off) != own)
             return _tile_math(mode, dim, h, k_sig, params, fast_math,
                               ivals, jrow, geom, valid, acc_in)
 

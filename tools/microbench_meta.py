@@ -115,13 +115,27 @@ def probe_sweep():
         s.x, s.v, s.density, s.pressure, s.mass, s.volume, s.material, i,
         params))(st, ids)
 
-    for mode in ("probe", "density", "force"):
+    for mode in ("probe_noloop", "probe", "density", "force"):
         fn = jax.jit(functools.partial(
             ps._run_sweep_seg, mode=mode, spec=spec, params=params,
             block=scfg.block_size, window=scfg.window_cap, tile=scfg.tile,
             interpret=False, fast_math=True))
         t = timeit(lambda p, m: fn(p, m), (pack, meta))
-        print(f"seg sweep [{mode:8}]: {t:7.2f} ms")
+        print(f"seg sweep [{mode:8}] tile={scfg.tile:4}: {t:7.2f} ms")
+
+    # linear-kernel fixed-cost comparison at identical window/tile/blocks:
+    # manual double-buffered DMA + 4 BlockSpec inputs vs the seg kernel's
+    # 11 pipelined inputs (probe results are cost-only, not physics)
+    coords = gridops.cell_coords(st.x, spec)
+    lmeta, _ = ps.block_meta(ids, coords, spec, scfg.block_size,
+                             scfg.window_cap)
+    for mode in ("probe", "density", "force"):
+        fn = jax.jit(functools.partial(
+            ps._run_sweep, mode=mode, spec=spec, params=params,
+            block=scfg.block_size, window=scfg.window_cap, tile=scfg.tile,
+            interpret=False))
+        t = timeit(lambda p, m: fn(p, m), (pack, lmeta))
+        print(f"lin sweep [{mode:8}] tile={scfg.tile:4}: {t:7.2f} ms")
 
 
 if __name__ == "__main__":
