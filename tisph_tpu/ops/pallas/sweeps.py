@@ -19,12 +19,13 @@ row) — but with the streaming made explicit:
 - per-pair physics is identical to the factories in ops/forces.py
   (reference equations wcsphv2.py:18-93, sph_basev2.py:64-78).
 
-Packed-row layout (transposed):
-  0..2  x   |  3..5  v  (offsets fixed so 2D/3D share indices)
-  6 density | 7 pressure | 8 mass | 9 volume | 10 fluid | 11 bound
-  12 eff_mass (fluid*m + bound*rho0*V — density-sweep coefficient)
-  13 cell id (f32) | 14 p/rho^2 (precomputed per particle, saves a per-lane
-  divide in the force sweep) | 15 pad
+Packed-row layout (transposed), split so the density/bvol sweeps (which
+need only position, cell id, eff_mass / bound flag) can fetch HALF-height
+(8, W) windows — the force sweep fetches all 16 rows:
+  0..2  x | 3 cell id (f32) | 4 eff_mass (fluid*m + bound*rho0*V — the
+  density-sweep coefficient) | 5 bound | 6 density | 7 p/rho^2
+  (precomputed per particle, saves a per-lane divide in the force sweep)
+  8..10 v | 11 mass | 12 volume | 13 fluid | 14 pressure | 15 fl*mass
 """
 
 from __future__ import annotations
@@ -44,8 +45,9 @@ from tisph_tpu.ops.grid import GridSpec, _row_offsets
 from tisph_tpu.ops.kernels import cubic_kernel_sigma
 
 F_ROWS = 16
-_X, _V, _RHO, _P, _M, _VOL, _FL, _BD, _EFFM, _ID = 0, 3, 6, 7, 8, 9, 10, 11, 12, 13
-_PRHO2 = 14
+D_ROWS = 8  # density/bvol sweeps read rows [0, 8) only — half-width fetch
+_X, _ID, _EFFM, _BD, _RHO, _PRHO2 = 0, 3, 4, 5, 6, 7
+_V, _M, _VOL, _FL, _P = 8, 11, 12, 13, 14
 _FLM = 15  # fl * m (precomputed: the force tile's fluid-mass coefficient;
 #            bd * rho0 * V falls out as _EFFM - _FLM)
 _LANE = 128  # window starts are quantised to this lane grid
@@ -553,17 +555,18 @@ _IOFF = 127  # seg meta scalar column: sharded i-side offset
 class SegMeta(NamedTuple):
     """Seg sweep metadata (see :func:`seg_block_meta`).
 
-    ``iblk``/``wblk`` are scalar-prefetch index arrays the BlockSpec index
-    maps read, so Mosaic's own pipeline fetches every block's i-slab and
-    candidate windows (double-buffered, deduped across revisits) — no manual
-    DMA in the kernel at all."""
+    ``iblk`` is the scalar-prefetch index array Mosaic's pipeline uses to
+    fetch each block's i-slab; ``wblk`` feeds the kernel's MANUAL window
+    DMAs (fetched one block ahead, double-buffered) — the flat tile loop
+    (ONE fori_loop per block; 9 per-row loops measured ~6 ms of pure
+    loop-instance overhead per sweep at 195k, probe vs probe_noloop)
+    cannot index 9 separate BlockSpec window refs by a traced row."""
 
     meta: jax.Array  # (ceil8(block_cap), 128) i32 — per-row scalars (VMEM)
     iblk: jax.Array  # (ceil8(block_cap),) i32 — i-slab index, units of block
-    wblk: jax.Array  # (ceil8(block_cap)*rows,) i32 — fetch index of each
-    #                  ``window``-lane fetch per (block, stencil row), in
-    #                  units of the 128-lane grid (pl.Element dim: the index
-    #                  map scales by _LANE)
+    wblk: jax.Array  # (ceil8(block_cap)*rows,) i32 — base of each
+    #                  ``window``-lane window fetch per (block, stencil
+    #                  row), in units of the 128-lane grid
 
 
 def seg_block_meta(
@@ -661,11 +664,19 @@ def seg_block_meta(
 
 def _seg_sweep_kernel(
     iblk_ref,       # (ceil8(block_cap),) i32 SMEM — i-slab indices (prefetch)
-    wblk_ref,       # (ceil8(block_cap)*rows,) i32 SMEM — window fetch indices
+    wblk_ref,       # (ceil8(block_cap)*rows,) i32 SMEM — window fetch bases
     meta_ref,       # (8, 128) i32 VMEM tile; row (blk % 8), see seg_block_meta
-    ipack_ref,      # (16, B) VMEM — this block's i-slab (pipelined by Mosaic
+    ipack_ref,      # (FR, B) VMEM — this block's i-slab (pipelined by Mosaic
     #                 via the iblk scalar-prefetch index map)
-    *win_and_out,   # rows x (16, W) VMEM window fetches, then out (B, 8)
+    jpack_hbm,      # (FR, N_padded) ANY — packed array (manual DMA src);
+    #                 FR = 8 for density/bvol (rows [0, 8) suffice), 16
+    #                 for the gradient modes
+    out_ref,        # (B, 8) VMEM
+    jbuf,           # (2, rows, FR, W) VMEM scratch — window double buffer
+    sems,           # (2, rows) DMA semaphores
+    clh,            # (2*rows, B) f32 VMEM scratch — per-row c_lo / c_hi
+    g0s,            # (rows,) i32 SMEM scratch — per-row window base
+    *,
     mode: str,
     spec: GridSpec,
     params: SolverParams,
@@ -677,25 +688,28 @@ def _seg_sweep_kernel(
 ):
     """Seg-layout sweep over anchor-confined logical blocks (grid.seg_plan:
     dense rows get their own z-trimmed blocks; sparse-row runs share
-    multi-row blocks).  Membership = the per-pair cell-id test (each j must
-    lie in THIS stencil offset's cell range of its i — computed from
+    multi-row blocks).  Membership is the per-pair cell-id test alone (each
+    j must lie in THIS stencil offset's cell range of its i — computed from
     sort-time ids on both sides, so the structure stays consistent under
-    resort_every amortization) AND ``r2 < h^2`` with current positions.
-    The id test is what keeps a multi-row block's overlapping
-    adjacent-offset windows from double counting.
+    resort_every amortization); the spline clamps make the r2 < h^2 cutoff
+    exact, and the gradient modes additionally exclude the self pair.
 
-    All operands arrive through scalar-prefetch-indexed BlockSpecs (the
-    block-sparse kernel pattern): Mosaic's pipeline prefetches the i-slab
-    and the 9 (3D) window fetches for block k+1 while block k computes, and
-    skips re-fetching windows whose index repeats across consecutive blocks
-    (adjacent blocks of one anchor share neighbor windows).  The kernel
-    body is pure compute — no manual DMA, no conditionals.
+    Loop structure (round 3): ONE fori_loop per block over ALL (stencil
+    row, tile) pairs instead of one loop per stencil row — 9 loop
+    instances/block measured ~6 ms of pure setup overhead per sweep at
+    195k.  Per iteration a scalar select chain over the preamble's
+    cumulative tile counts recovers (row, tile); the scalar core runs it
+    concurrently with the vector pair math.  The per-row id bounds live
+    in VMEM/SMEM scratch so a traced row index can select them.
+
+    Window data moves by MANUAL double-buffered DMA, one block ahead:
+    while block k computes from slot k%2, block k+1's ``rows`` window
+    fetches stream into the other slot.  (The former per-row BlockSpec
+    windows cannot be indexed by a traced row inside the flat loop.)
 
     Overlap/overhang i-lanes (neighboring anchors' particles at the block's
     edges) compute garbage that the caller's back map discards."""
     rows = spec.num_rows
-    win_refs = win_and_out[:rows]
-    out_ref = win_and_out[rows]
     dim = spec.dim
     h = params.support_length
     k_sig = cubic_kernel_sigma(dim, h)
@@ -704,8 +718,29 @@ def _seg_sweep_kernel(
     offsets = _row_offsets(spec)
 
     blk = pl.program_id(0)
+    nblk = pl.num_programs(0)
     mrow = jax.lax.rem(blk, 8)
     i_off = meta_ref[mrow, _IOFF]
+    slot = jax.lax.rem(blk, 2)
+
+    def dma(s, row, b):
+        ws = pl.multiple_of(wblk_ref[b * rows + row] * _LANE, _LANE)
+        return pltpu.make_async_copy(
+            jpack_hbm.at[:, pl.ds(ws, jbuf.shape[3])],
+            jbuf.at[s, row],
+            sems.at[s, row],
+        )
+
+    @pl.when(blk == 0)
+    def _():
+        for r in range(rows):
+            dma(0, r, 0).start()
+
+    # prefetch the NEXT block's windows before waiting on our own
+    @pl.when(blk + 1 < nblk)
+    def _():
+        for r in range(rows):
+            dma(1 - slot, r, blk + 1).start()
 
     irow = lambda rr: ipack_ref[rr, :]  # (B,)
     xi = [irow(_X + a) for a in range(dim)]
@@ -726,15 +761,9 @@ def _seg_sweep_kernel(
     acc0 = ivals.pop("acc0")
     vi = ivals.get("vi")
 
-    acc = acc0
-    for row in range(rows):  # static unroll: 9 (3D) / 3 (2D) stencil offsets
-        delta = meta_ref[mrow, rows + row]
-        wl = meta_ref[mrow, 2 * rows + row]
-        g0 = meta_ref[mrow, 3 * rows + row]
-        wref = win_refs[row]
-
-        # per-i inclusive cell-id range [c_lo, c_hi] for this stencil
-        # offset (from SORT-TIME coords — consistent with the window ids)
+    # per-row id bounds + window bases into scratch, so the flat loop can
+    # select them by a traced row index
+    for row in range(rows):
         o = offsets[row]
         valid_row = None
         base = jnp.zeros((block,), jnp.int32)
@@ -748,54 +777,72 @@ def _seg_sweep_kernel(
         z_hi = jnp.minimum(z + 1, int(res[-1]) - 1)
         if valid_row is None:
             valid_row = jnp.ones((block,), jnp.bool_)
-        c_lo = jnp.where(valid_row, base + z_lo, 1).astype(jnp.float32)[:, None]
-        c_hi = jnp.where(valid_row, base + z_hi, 0).astype(jnp.float32)[:, None]
+        clh[row, :] = jnp.where(valid_row, base + z_lo, 1).astype(jnp.float32)
+        clh[rows + row, :] = jnp.where(
+            valid_row, base + z_hi, 0
+        ).astype(jnp.float32)
+        g0s[row] = meta_ref[mrow, 3 * rows + row]
 
-        if mode == "probe_noloop":
-            # fixed-cost probe minus the tile loops: one static touch per
-            # row buffer so the fetches aren't dead
-            acc = (acc[0] + wref[_X, 0],) + acc[1:]
-            continue
+    for r in range(rows):
+        dma(slot, r, blk).wait()
 
-        def tile_body(t, acc_in, wref=wref, delta=delta, wl=wl, g0=g0,
-                      c_lo=c_lo, c_hi=c_hi):
-            jrow = lambda rr: wref[rr, pl.ds(t * tile, tile)]  # (T,)
-            if mode == "probe":
-                # diagnostic: fetch + loop + one touch per lane — measures
-                # the sweep's fixed costs without the pair math
-                return (acc_in[0] + jnp.sum(jrow(_X)),) + acc_in[1:]
-            idw = jrow(_ID)[None, :]
+    # cumulative tile counts over the rows (traced scalars): row r covers
+    # flat positions [cum[r], cum[r+1])
+    cum = [jnp.int32(0)]
+    for r in range(rows):
+        wl_r = meta_ref[mrow, 2 * rows + r]
+        cum.append(cum[-1] + pl.cdiv(wl_r, tile))
+    ntot = cum[rows]
 
-            if mxu:
-                jslab = lambda r0, nr: wref[r0:r0 + nr, pl.ds(t * tile, tile)]
-                geom = _mxu_geom(dim, xi, vi, jslab)
-            else:
-                geom = _vpu_geom(dim, xi, vi, jrow)
-            # Membership is the id-range test ALONE: it assigns every j to
-            # exactly ONE stencil offset per i (cell ranges of different
-            # offsets are disjoint cells), so no pair double-counts even
-            # when a multi-row block's adjacent-offset windows overlap.
-            # The former [delta, wl) window bounds are subsumed by it —
-            # the window ends ARE the CSR bounds of the block-level id
-            # range, quantisation-spill/overrun lanes hold real particles
-            # whose ids fall outside [c_lo, c_hi], and zero-padding lanes
-            # carry zero mass/material flags so every mode's contribution
-            # vanishes there.  The r2 < h^2 cutoff is exact in the spline
-            # clamps themselves (W and dW/dq are exactly 0 for q >= 1).
-            # Self-exclusion (g != own) is only needed by the gradient
-            # modes: density/bvol WANT the self W(0) term (see
-            # _ivals_acc0), and for j = i the gradient contribution is
-            # coh_i * flm * w(0), which must be masked.
-            valid = (idw >= c_lo) & (idw <= c_hi)
-            if mode in ("force", "reaction"):
-                off = t * tile + jax.lax.broadcasted_iota(
-                    jnp.int32, (1, tile), 1
-                )
-                valid = valid & ((g0 + off) != own)
-            return _tile_math(mode, dim, h, k_sig, params, fast_math,
-                              ivals, jrow, geom, valid, acc_in)
+    def tile_body(kk, acc_in):
+        r = jnp.int32(0)
+        base = jnp.int32(0)
+        for j in range(1, rows):  # scalar select chain (runs on the
+            cj = kk >= cum[j]     # scalar core, overlapped with the VPU)
+            r = jnp.where(cj, j, r)
+            base = jnp.where(cj, cum[j], base)
+        t = kk - base
+        jrow = lambda rr: jbuf[slot, r, rr, pl.ds(t * tile, tile)]  # (T,)
+        if mode == "probe":
+            # diagnostic: fetch + loop + one vector touch — measures the
+            # sweep's fixed costs without the pair math
+            return (acc_in[0] + jbuf[slot, r, _X, pl.ds(t * tile, 128)],
+                    ) + acc_in[1:]
+        idw = jrow(_ID)[None, :]
 
-        acc = jax.lax.fori_loop(0, pl.cdiv(wl, tile), tile_body, acc)
+        if mxu:
+            jslab = lambda r0, nr: jbuf[slot, r, r0:r0 + nr,
+                                        pl.ds(t * tile, tile)]
+            geom = _mxu_geom(dim, xi, vi, jslab)
+        else:
+            geom = _vpu_geom(dim, xi, vi, jrow)
+        # Membership is the id-range test ALONE: it assigns every j to
+        # exactly ONE stencil offset per i (cell ranges of different
+        # offsets are disjoint cells), so no pair double-counts even
+        # when a multi-row block's adjacent-offset windows overlap.
+        # Window bounds are subsumed by it — the window ends ARE the CSR
+        # bounds of the block-level id range, quantisation-spill/overrun
+        # lanes hold real particles whose ids fall outside [c_lo, c_hi],
+        # and zero-padding lanes carry zero mass/material flags so every
+        # mode's contribution vanishes there.  The r2 < h^2 cutoff is
+        # exact in the spline clamps (W and dW/dq are exactly 0 for
+        # q >= 1).  Self-exclusion is only needed by the gradient modes
+        # (density/bvol fold the self W(0) term into the sweep).
+        c_lo = clh[r, :][:, None]
+        c_hi = clh[rows + r, :][:, None]
+        valid = (idw >= c_lo) & (idw <= c_hi)
+        if mode in ("force", "reaction"):
+            off = t * tile + jax.lax.broadcasted_iota(
+                jnp.int32, (1, tile), 1
+            )
+            valid = valid & ((g0s[r] + off) != own)
+        return _tile_math(mode, dim, h, k_sig, params, fast_math,
+                          ivals, jrow, geom, valid, acc_in)
+
+    if mode == "probe_noloop":
+        acc = (acc0[0] + jbuf[slot, 0, _X, 0:128],) + acc0[1:]
+    else:
+        acc = jax.lax.fori_loop(0, ntot, tile_body, acc0)
 
     for c, col in enumerate(acc):
         out_ref[:, c] = col
@@ -807,14 +854,18 @@ def _run_sweep_seg(pack, meta: "SegMeta", mode, spec, params, block, window,
                    tile, interpret, fast_math=True, mxu=False):
     n = pack.shape[1]
     rows = spec.num_rows
+    # density/bvol touch only pack rows [0, 8): fetch half-height windows
+    f_rows = D_ROWS if mode in ("density", "bvol", "probe", "probe_noloop") else F_ROWS
+    if pack.shape[0] > f_rows:
+        pack = pack[:f_rows]
     num_blocks = meta.meta.shape[0]  # ceil8(block_cap); padded rows no-op
     out_cols = 8
-    # pad the j array so every indexed fetch stays in bounds: window fetches
-    # read [wblk*128, wblk*128 + W_f) with wblk*128 <= ceil128(n), i-slabs
-    # read [iblk*block, +block) with iblk <= floor((n-1)/block).  The fetch
+    # pad the j array so every window fetch stays in bounds: fetches read
+    # [wblk*128, wblk*128 + W_f) with wblk*128 <= ceil128(n), i-slabs read
+    # [iblk*block, +block) with iblk <= floor((n-1)/block).  The fetch
     # width is rounded UP to a tile multiple: w_eff = min(window, n) may
     # not be one (window_cap can exceed a small capacity), and the last
-    # tile's dynamic slice must not read past the window block.
+    # tile's dynamic slice must not read past the window plane.
     w_eff = min(window, n)
     w_fetch = -(-w_eff // tile) * tile
     padded = -(-n // _LANE) * _LANE + w_fetch
@@ -826,21 +877,6 @@ def _run_sweep_seg(pack, meta: "SegMeta", mode, spec, params, block, window,
         fast_math=fast_math and not interpret,
         mxu=mxu,
     )
-    # dim 1 uses Element indexing: the index map returns the 128-aligned
-    # ELEMENT start of the W-lane fetch (the index multiplies by _LANE so
-    # Mosaic can prove lane alignment; overlapping stride-128 fetches can't
-    # be expressed in Blocked units)
-    win_spec = [
-        pl.BlockSpec(
-            (pl.Element(F_ROWS), pl.Element(w_fetch)),
-            functools.partial(
-                lambda k, iblk, wblk, row: (0, wblk[k * rows + row] * _LANE),
-                row=row,
-            ),
-            memory_space=pltpu.VMEM,
-        )
-        for row in range(rows)
-    ]
     out = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -849,18 +885,24 @@ def _run_sweep_seg(pack, meta: "SegMeta", mode, spec, params, block, window,
             in_specs=[
                 pl.BlockSpec((8, 128), lambda k, iblk, wblk: (k // 8, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((F_ROWS, block),
+                pl.BlockSpec((f_rows, block),
                              lambda k, iblk, wblk: (0, iblk[k]),
                              memory_space=pltpu.VMEM),
-                *win_spec,
+                pl.BlockSpec(memory_space=pltpu.ANY),
             ],
             out_specs=pl.BlockSpec((block, out_cols),
                                    lambda k, iblk, wblk: (k, 0),
                                    memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, rows, f_rows, w_fetch), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, rows)),
+                pltpu.VMEM((2 * rows, block), jnp.float32),
+                pltpu.SMEM((rows,), jnp.int32),
+            ],
         ),
         out_shape=jax.ShapeDtypeStruct((num_blocks * block, out_cols), jnp.float32),
         interpret=interpret,
-    )(meta.iblk, meta.wblk, meta.meta, pack_j, *([pack_j] * rows))
+    )(meta.iblk, meta.wblk, meta.meta, pack_j, pack_j)
     return out
 
 
