@@ -301,21 +301,25 @@ def seg_plan(
     anchor_of = jax.lax.associative_scan(
         jnp.maximum, jnp.where(is_anchor, r_idx, -1)
     )
-    # per-ANCHOR extent: start = in_starts[a]; end = in_starts of the next
-    # anchor.  Compute per-row then reduce: a row's particles belong to
-    # anchor_of[row].
+    # per-ANCHOR extent: start = in_starts[a]; end = in_starts of the NEXT
+    # anchor.  The next-anchor row comes from a reverse min-scan (in_starts
+    # is monotone, so "max in_starts[r+1] over the anchor's rows" IS
+    # in_starts[next anchor]) — a scan + gather replaces the two
+    # segment_max scatters the round-2 version used (XLA scatter on TPU is
+    # serial; the scan is log-depth).
     a_start = in_starts[:-1]  # (R,) start of each row
-    # anchor end = max over rows with the same anchor of in_starts[r+1]
-    anchor_end = jax.ops.segment_max(
-        in_starts[1:], anchor_of, num_segments=num_rows
+    nxt = jax.lax.associative_scan(
+        jnp.minimum,
+        jnp.where(is_anchor, r_idx, num_rows),
+        reverse=True,
     )
+    nxt = jnp.concatenate([nxt[1:], jnp.asarray([num_rows], jnp.int32)])
+    anchor_end = in_starts[nxt]  # valid at anchor rows
     s0 = (a_start // align) * align  # (R,) aligned anchor origin (valid at anchors)
     span = jnp.maximum(anchor_end - s0, 0)
-    has_p = jax.ops.segment_max(
-        (counts > 0).astype(jnp.int32), anchor_of, num_segments=num_rows
-    )
+    # anchor holds >= 1 particle iff its [start, end) range is non-empty
     nblk = jnp.where(
-        is_anchor & (has_p > 0), (span + block - 1) // block, 0
+        is_anchor & (anchor_end > a_start), (span + block - 1) // block, 0
     )
     blk_cum = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(nblk, dtype=jnp.int32)]
@@ -343,13 +347,22 @@ def seg_plan(
 
     # inverse map: compact index -> block-output slot via the particle's
     # anchor row (= anchor_of[ids[t] // res_z]; sentinel tail -> invalid).
+    # The three per-anchor quantities each particle needs (aligned origin,
+    # first block, next anchor's first block) are packed into ONE per-ROW
+    # table so the (n,)-sized stage costs a single 3-column row gather
+    # instead of four scalar gathers (round-3 microbench: one 195k scalar
+    # gather alone is ~2.8 ms on the v5e; row gathers amortize it).
+    rtab = jnp.stack(
+        [s0[anchor_of], blk_cum[anchor_of], blk_cum[anchor_of + 1]], axis=1
+    )  # (R, 3) — gathers over num_rows only
+    rtab = jnp.concatenate([rtab, jnp.asarray([[0, 0, 0]], jnp.int32)])
     row_of_t = jnp.minimum(sorted_ids // res_z, num_rows).astype(jnp.int32)
     t = jnp.arange(n, dtype=jnp.int32)
-    rr = anchor_of[jnp.minimum(row_of_t, num_rows - 1)]
-    off_t = t - s0[rr]
-    bb = blk_cum[rr] + off_t // block
+    tt = rtab[row_of_t]  # (n, 3) row gather
+    off_t = t - tt[:, 0]
+    bb = tt[:, 1] + off_t // block
     # a clipped (overflowed) anchor has blk_cum[rr+1] == blk_cum[rr]: invalid
-    back_valid = (row_of_t < num_rows) & (bb < blk_cum[rr + 1])
+    back_valid = (row_of_t < num_rows) & (bb < tt[:, 2])
     back_idx = jnp.clip(bb * block + off_t % block, 0, block_cap * block - 1)
     return SegPlan(
         seg_start, seg_len, own_lo, id_first, id_last,
