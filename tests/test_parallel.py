@@ -256,3 +256,43 @@ def test_sharded_seg_matches_blocked():
     f = np.asarray(ob.material) == 1
     assert np.abs(np.asarray(ob.x) - np.asarray(op.x))[f].max() < 1e-5
     assert int(op.occ_rowpad) > 0  # the pad diagnostic is live
+
+
+def test_sharded_seg_amortized_matches_single_chip():
+    """resort_every=2 on the sharded seg path (VERDICT r2 #5): the
+    build/apply split must reproduce the single-chip amortized trajectory
+    — both sides rebuild on the same cadence, so the paths are
+    algorithmically identical up to the halo extension."""
+    import tisph_tpu.models.wcsph as _w
+    from tisph_tpu.ops.neighbors import SweepConfig
+
+    scene = _scene(radius=0.04)
+    cfg = dict(impl="pallas", block_size=128, window_cap=1152,
+               tile=128, interpret=True, layout="seg", resort_every=2)
+
+    s1 = tt.WCSPH(scene, sweep_cfg=SweepConfig(**cfg))
+    st1 = s1.bind(tt.build_state(scene))
+    st1 = s1.rollout(st1, 4)
+
+    mesh = make_mesh(4)
+    s2 = ShardedWCSPH(scene, mesh, sweep_cfg=SweepConfig(**cfg))
+    st2 = s2.bind(tt.build_state(scene))
+    st2 = s2.rollout(st2, 4)
+
+    o1, o2 = jax.device_get(st1), jax.device_get(st2)
+    a1 = np.asarray(o1.material) != -1
+    a2 = np.asarray(o2.material) != -1
+    assert a1.sum() == a2.sum()
+    x1, x2 = np.asarray(o1.x)[a1], np.asarray(o2.x)[a2]
+    assert np.abs(x1 - x2).max() < 1e-5, (
+        f"amortized sharded divergence {np.abs(x1 - x2).max():.2e}"
+    )
+    np.testing.assert_allclose(
+        np.asarray(o1.density)[a1], np.asarray(o2.density)[a2], rtol=1e-4
+    )
+    # occupancy metrics are surfaced (VERDICT r2 weak #8)
+    m = jax.device_get(s2.metrics(st2))
+    assert int(m["run_cap"]) == s2.sweep_cfg.window_cap
+    assert int(m["max_run_length"]) > 0
+    assert int(m["seg_pad_cap"]) == s2.sweep_cfg.pad_capacity
+    assert int(m["halo_depth"]) == s2.halo

@@ -20,6 +20,15 @@ cell ids are x-major.  One step =
 
 Collectives per step: 4 ppermutes (2 halo directions x 2 exchanges) plus
 whatever XLA emits for the distributed sort.
+
+On the flagship seg layout the step is split build/apply exactly like the
+single-chip solver (WCSPH._seg_build / _seg_apply): the build phase runs
+the distributed sort and the per-shard seg plan + window metadata inside
+one shard_map and returns them as sharded arrays; the apply phase
+re-exchanges only field VALUES each substep against the cached structure.
+``SweepConfig.resort_every = R`` then amortizes the whole rebuild over R
+substeps (SolverBase.rollout picks the amortized path up automatically via
+the _seg_build/_seg_apply protocol).
 """
 
 from __future__ import annotations
@@ -80,6 +89,7 @@ class ShardedWCSPH(SolverBase):
         self.axis = mesh.axis_names[0]
         self.n_shards = mesh.devices.size
         self.halo = halo  # defaults to window_cap at bind
+        self.halo_path: str | None = None  # 'ppermute' | 'all_gather' (set at trace)
         self._sharding = NamedSharding(mesh, P(self.axis))
         self._replicated = NamedSharding(mesh, P())
 
@@ -171,6 +181,9 @@ class ShardedWCSPH(SolverBase):
             state,
         )
 
+    def _hops(self) -> int:
+        return max(1, -(-self.halo // self._shard_rows))
+
     # ------------------------------------------------------------------
     def _halo_exchange(self, arrs: dict, h: int, hops: int) -> dict:
         """Return halo-extended copies: concat(left_halo[h], arr, right_halo[h]).
@@ -218,34 +231,65 @@ class ShardedWCSPH(SolverBase):
             out[k] = jnp.concatenate([left, arrs[k], right], axis=0)
         return out
 
-    def _extend(self, f_local: dict, ids_l, hn: int, hops: int, shard_rows: int):
-        """Halo-extend the local arrays; returns (f_ext, ids_ext, i_offset).
+    def _extend(self, arrs: dict, hn: int, hops: int, shard_rows: int):
+        """Halo-extend ``arrs`` (must contain an 'ids' channel); returns
+        (ext_dict, i_offset).
 
         Normal path: k-hop ppermute halo (hops small).  When the halo would
         need more than 2 hops (tiny shards relative to the stencil reach —
         dry runs, small scenes), a single tiled all_gather of the whole
         sorted array is cheaper than a deep ppermute chain; the i side is
-        then my chunk at offset axis_index * shard_rows.
+        then my chunk at offset axis_index * shard_rows.  The branch is
+        static (hops is host-resolved), recorded in ``self.halo_path``.
         """
         if hops <= 2:
-            ext = self._halo_exchange({**f_local, "ids": ids_l}, hn, hops)
-            return {k: ext[k] for k in _FIELD_KEYS}, ext["ids"], hn
+            self.halo_path = "ppermute"
+            return self._halo_exchange(arrs, hn, hops), hn
+        self.halo_path = "all_gather"
         gathered = {
             k: jax.lax.all_gather(v, self.axis, tiled=True)
-            for k, v in {**f_local, "ids": ids_l}.items()
+            for k, v in arrs.items()
         }
         off = jax.lax.axis_index(self.axis) * shard_rows
-        return {k: gathered[k] for k in _FIELD_KEYS}, gathered["ids"], off
+        return gathered, off
 
-    def _step_fn(self, state: SimState) -> SimState:
-        spec, params, scfg = self.spec, self.params, self.sweep_cfg
-        ax = self.axis
-        hn = self.halo
-        shard_rows = self._shard_rows
-        hops = max(1, -(-hn // shard_rows))
-        axis_spec = P(ax)
+    def _cover_flag(self, ids_l, ids_e, ranges, hops):
+        """Halo-reach overflow flag (pmax'd over shards): trips when some
+        required cell range of a LOCAL particle reaches past the ids the
+        halo-extended array actually covers (fluid migrated across slabs
+        since bind measured the reach).  Left-covered iff ids_e[0] < min
+        q_lo (every global id >= q_lo then lies inside); right-covered iff
+        ids_e[-1] > max q_hi.  Neutralised edge chunks (-1 / num_cells)
+        make the global head and tail trivially covered."""
+        spec, ax = self.spec, self.axis
+        full_cover = hops > 2 or hops >= self.n_shards - 1
+        if full_cover:
+            # all_gather path (or a halo deep enough to reach every other
+            # shard): coverage is total by construction — the edge test
+            # below would false-trip on the shards holding the global
+            # head/tail (their stencils reach past the lowest/highest real
+            # ids) and livelock regrow_halo.
+            return jnp.zeros((), jnp.int32)
+        act = (ids_l < spec.num_cells)[:, None]
+        valid = act & (ranges[..., 0] <= ranges[..., 1])
+        q_lo = jnp.where(valid, ranges[..., 0], spec.num_cells)
+        q_hi = jnp.where(valid, ranges[..., 1], -1)
+        lo_min = jnp.min(q_lo)
+        hi_max = jnp.max(q_hi)
+        halo_flag = (
+            ((lo_min < spec.num_cells) & (ids_e[0] >= lo_min))
+            | ((hi_max >= 0) & (ids_e[-1] <= hi_max))
+        ).astype(jnp.int32)
+        if self.n_shards > 1:
+            halo_flag = jax.lax.pmax(halo_flag, ax)
+        return halo_flag
 
-        # ---- phase A: global resort (distributed sort = migration) -------
+    def _global_resort(self, state: SimState):
+        """Phase A: distributed multi-operand sort by flat cell id (= the
+        resort AND the inter-shard particle migration in one collective
+        op).  Returns (sorted state with the particle-axis sharding
+        re-constrained, sorted_ids)."""
+        spec = self.spec
         coords = gridops.cell_coords(state.x, spec)
         ids = gridops.flat_cell_ids(coords, state.material, spec)
         # multi-operand sort: key = ids, payload = every per-particle column
@@ -288,8 +332,177 @@ class ShardedWCSPH(SolverBase):
             state,
         )
         sorted_ids = jax.lax.with_sharding_constraint(sorted_ids, self._sharding)
+        return state, sorted_ids
 
-        # ---- phase B: sharded halo sweeps --------------------------------
+    # ------------------------------------------------------------------
+    # seg layout: build/apply split (cached structure, resort_every
+    # amortization — the sharded analog of WCSPH._seg_build/_seg_apply)
+    # ------------------------------------------------------------------
+    def _seg_build(self, state: SimState):
+        """Distributed resort + per-shard seg structure build.  Returns
+        (state, cache); the cache — per-shard SegMeta + back maps + the
+        sorted ids, all sharded along their leading axes — stays valid for
+        a few substeps of motion (SweepConfig.resort_every)."""
+        from tisph_tpu.ops.pallas import sweeps as ps
+
+        spec, scfg = self.spec, self.sweep_cfg
+        ax = self.axis
+        hn, shard_rows = self.halo, self._shard_rows
+        hops = self._hops()
+        block = scfg.block_size
+        block_cap = scfg.pad_capacity // block
+        axis_spec = P(ax)
+
+        state, sorted_ids = self._global_resort(state)
+
+        @partial(
+            jax.shard_map,
+            mesh=self.mesh,
+            in_specs=(axis_spec,),
+            out_specs=(
+                ps.SegMeta(axis_spec, axis_spec, axis_spec),
+                axis_spec, axis_spec, P(), P(),
+            ),
+            check_vma=False,
+        )
+        def build_shard(ids_l):
+            # the plan partitions the LOCAL slab (a contiguous chunk of the
+            # global sorted array — partially cut boundary rows just become
+            # partial anchors), while windows search the halo-EXTENDED ids.
+            # i-slabs are addressed inside the extended pack by offsetting
+            # the plan's block indices (off is a multiple of block on both
+            # extension paths), which also makes the kernel's self-pair
+            # `own` index land in j coordinates.
+            bounds_l = gridops.csr_bounds_hist(ids_l, spec)
+            plan = gridops.seg_plan(ids_l, spec, block, block_cap, bounds=bounds_l)
+            ext, off = self._extend({"ids": ids_l}, hn, hops, shard_rows)
+            ids_e = ext["ids"]
+            bounds_e = gridops.csr_bounds_hist(ids_e, spec)
+            meta, need = ps.seg_block_meta(
+                plan, ids_e, spec, block, scfg.window_cap, bounds=bounds_e
+            )
+            meta = meta._replace(iblk=meta.iblk + off // block)
+            need = need.astype(jnp.int32)
+            pad_need = (plan.need_blocks * block).astype(jnp.int32)
+            if self.n_shards > 1:
+                need = jax.lax.pmax(need, ax)
+                pad_need = jax.lax.pmax(pad_need, ax)
+            return meta, plan.back_idx, plan.back_valid, need, pad_need
+
+        meta, back_idx, back_valid, need, pad_need = build_shard(sorted_ids)
+        state = self._track_occ(state, need)
+        state = dataclasses.replace(
+            state,
+            occ_rowpad=jnp.maximum(
+                jnp.asarray(state.occ_rowpad, jnp.int32), pad_need
+            ),
+        )
+        return state, (meta, back_idx, back_valid, sorted_ids)
+
+    def _seg_apply(self, state: SimState, cache) -> SimState:
+        """One physics substep against the (possibly stale) cached seg
+        structure: two value-only halo exchanges + the seg pallas sweeps.
+        Pair-membership staleness bound: identical to the single-chip
+        WCSPH._seg_apply (sort-time id test + current-position r2)."""
+        from tisph_tpu.ops.pallas import sweeps as ps
+
+        spec, params, scfg = self.spec, self.params, self.sweep_cfg
+        ax = self.axis
+        hn, shard_rows = self.halo, self._shard_rows
+        hops = self._hops()
+        meta, back_idx, back_valid, sorted_ids = cache
+        axis_spec = P(ax)
+        kw = dict(tile=scfg.tile, interpret=scfg.interpret,
+                  fast_math=scfg.fast_math)
+
+        def sweep_shard(mode, ids_l, meta_c, bidx, bval, *fields):
+            f_local = dict(zip(_FIELD_KEYS, fields))
+            ext, off = self._extend(
+                {**f_local, "ids": ids_l}, hn, hops, shard_rows
+            )
+            ids_e = ext["ids"]
+            coords_l = gridops.cell_coords(f_local["x"], spec)
+            ranges = gridops.cell_target_ranges(coords_l, spec)
+            halo_flag = self._cover_flag(ids_l, ids_e, ranges, hops)
+            pack_ext = ps.pack_state(
+                ext["x"], ext["v"], ext["density"], ext["pressure"],
+                ext["mass"], ext["volume"], ext["material"], ids_e, params,
+            )
+            fn = (ps.density_sweep_seg if mode == "density"
+                  else ps.force_sweep_seg)
+            out_blk = fn(pack_ext, meta_c, spec, params, scfg.block_size,
+                         scfg.window_cap, **kw)
+            fluid = f_local["material"] == 1
+            if mode == "density":
+                keep = bval & fluid
+                res = jnp.where(keep, out_blk[bidx], f_local["density"])
+            else:
+                keep = (bval & fluid)[:, None]
+                res = jnp.where(keep, out_blk[bidx], 0.0)
+            return res, halo_flag
+
+        meta_spec = ps.SegMeta(axis_spec, axis_spec, axis_spec)
+        in_specs = (
+            (axis_spec, meta_spec, axis_spec, axis_spec)
+            + (axis_spec,) * len(_FIELD_KEYS)
+        )
+
+        @partial(jax.shard_map, mesh=self.mesh, in_specs=in_specs,
+                 out_specs=(axis_spec, P()), check_vma=False)
+        def density_shard(ids_l, meta_c, bidx, bval, *fields):
+            return sweep_shard("density", ids_l, meta_c, bidx, bval, *fields)
+
+        f = F.state_fields(state)
+        density, hflag_d = density_shard(
+            sorted_ids, meta, back_idx, back_valid,
+            *[f[k] for k in _FIELD_KEYS],
+        )
+        rho, pressure = tait_pressure(
+            density, params.density0, params.stiffness, params.exponent
+        )
+        state = dataclasses.replace(state, density=rho, pressure=pressure)
+
+        @partial(jax.shard_map, mesh=self.mesh, in_specs=in_specs,
+                 out_specs=(axis_spec, P()), check_vma=False)
+        def force_shard(ids_l, meta_c, bidx, bval, *fields):
+            return sweep_shard("force", ids_l, meta_c, bidx, bval, *fields)
+
+        f = F.state_fields(state)
+        d_velocity, hflag_f = force_shard(
+            sorted_ids, meta, back_idx, back_valid,
+            *[f[k] for k in _FIELD_KEYS],
+        )
+
+        state = dataclasses.replace(
+            state,
+            occ_halo=jnp.maximum(
+                jnp.asarray(state.occ_halo, jnp.int32),
+                jnp.maximum(hflag_d, hflag_f).astype(jnp.int32),
+            ),
+        )
+        state = F.advect(state, d_velocity, params)
+        return F.enforce_domain_boundary(state, params)
+
+    # ------------------------------------------------------------------
+    def _step_fn(self, state: SimState) -> SimState:
+        scfg = self.sweep_cfg
+        if scfg.impl == "pallas" and scfg.layout == "seg":
+            state, cache = self._seg_build(state)
+            return self._seg_apply(state, cache)
+        return self._step_fn_windowed(state)
+
+    def _step_fn_windowed(self, state: SimState) -> SimState:
+        """Non-seg step (blocked jnp sweeps or the linear pallas layout):
+        sort + structure + sweeps rebuilt every substep."""
+        spec, params, scfg = self.spec, self.params, self.sweep_cfg
+        ax = self.axis
+        hn = self.halo
+        shard_rows = self._shard_rows
+        hops = self._hops()
+        axis_spec = P(ax)
+
+        state, sorted_ids = self._global_resort(state)
+
         dens_k = F.density_kernel(params, spec)
         force_k = F.force_kernel(params, spec)
 
@@ -306,83 +519,16 @@ class ShardedWCSPH(SolverBase):
                 x=x, v=v, density=density, pressure=pressure,
                 mass=mass, volume=volume, material=material,
             )
-            f_ext, ids_e, off = self._extend(f_local, ids_l, hn, hops, shard_rows)
+            ext, off = self._extend(
+                {**f_local, "ids": ids_l}, hn, hops, shard_rows
+            )
+            f_ext = {k: ext[k] for k in _FIELD_KEYS}
+            ids_e = ext["ids"]
             coords_l = gridops.cell_coords(x, spec)
-
-            # ---- halo-reach overflow flag --------------------------------
-            # Required id ranges of the local particles vs what the
-            # extension covers.  Left-covered iff ids_e[0] < min q_lo
-            # (every global id >= q_lo then lies inside); right-covered iff
-            # ids_e[-1] > max q_hi (ids beyond the extension are all larger).
-            # Neutralised edge chunks (-1 / num_cells) make the global head
-            # and tail trivially covered.
             ranges = gridops.cell_target_ranges(coords_l, spec)
-            full_cover = hops > 2 or hops >= self.n_shards - 1
-            if full_cover:
-                # all_gather path (or a halo deep enough to reach every
-                # other shard): coverage is total by construction — the
-                # edge test below would false-trip on the shards holding
-                # the global head/tail (their stencils reach past the
-                # lowest/highest real ids) and livelock regrow_halo.
-                halo_flag = jnp.zeros((), jnp.int32)
-            else:
-                act = (ids_l < spec.num_cells)[:, None]
-                valid = act & (ranges[..., 0] <= ranges[..., 1])
-                q_lo = jnp.where(valid, ranges[..., 0], spec.num_cells)
-                q_hi = jnp.where(valid, ranges[..., 1], -1)
-                lo_min = jnp.min(q_lo)
-                hi_max = jnp.max(q_hi)
-                halo_flag = (
-                    ((lo_min < spec.num_cells) & (ids_e[0] >= lo_min))
-                    | ((hi_max >= 0) & (ids_e[-1] <= hi_max))
-                ).astype(jnp.int32)
-                if self.n_shards > 1:
-                    halo_flag = jax.lax.pmax(halo_flag, ax)
+            halo_flag = self._cover_flag(ids_l, ids_e, ranges, hops)
 
-            pad_need = jnp.zeros((), jnp.int32)
-            if scfg.impl == "pallas" and scfg.layout == "seg":
-                from tisph_tpu.ops.pallas import sweeps as ps
-
-                # the flagship seg kernels, per shard: the plan partitions
-                # the LOCAL slab (a contiguous chunk of the global sorted
-                # array — partially cut boundary rows just become partial
-                # anchors), while windows search the halo-EXTENDED array.
-                # i-slabs are addressed inside the extended pack by
-                # offsetting the plan's block indices (off is a multiple of
-                # block on both extension paths), which also makes the
-                # kernel's self-pair `own` index land in j coordinates.
-                block_cap = scfg.pad_capacity // scfg.block_size
-                bounds_l = gridops.csr_bounds_hist(ids_l, spec)
-                plan = gridops.seg_plan(
-                    ids_l, spec, scfg.block_size, block_cap, bounds=bounds_l
-                )
-                pad_need = (plan.need_blocks * scfg.block_size).astype(jnp.int32)
-                bounds_e = gridops.csr_bounds_hist(ids_e, spec)
-                meta, need = ps.seg_block_meta(
-                    plan, ids_e, spec, scfg.block_size, scfg.window_cap,
-                    bounds=bounds_e,
-                )
-                meta = meta._replace(iblk=meta.iblk + off // scfg.block_size)
-                pack_ext = ps.pack_state(
-                    f_ext["x"], f_ext["v"], f_ext["density"], f_ext["pressure"],
-                    f_ext["mass"], f_ext["volume"], f_ext["material"], ids_e,
-                    params,
-                )
-                fn = (ps.density_sweep_seg if mode == "density"
-                      else ps.force_sweep_seg)
-                out_blk = fn(pack_ext, meta, spec, params, scfg.block_size,
-                             scfg.window_cap, tile=scfg.tile,
-                             interpret=scfg.interpret,
-                             fast_math=scfg.fast_math)
-                if mode == "density":
-                    acc = {"rho": jnp.where(
-                        plan.back_valid, out_blk[plan.back_idx], density
-                    )}
-                else:
-                    acc = {"dv": jnp.where(
-                        plan.back_valid[:, None], out_blk[plan.back_idx], 0.0
-                    )}
-            elif scfg.impl == "pallas":
+            if scfg.impl == "pallas":
                 from tisph_tpu.ops.pallas import sweeps as ps
 
                 meta, need = ps.block_meta(
@@ -422,14 +568,12 @@ class ShardedWCSPH(SolverBase):
             need = need.astype(jnp.int32)
             if self.n_shards > 1:
                 need = jax.lax.pmax(need, ax)
-                pad_need = jax.lax.pmax(pad_need, ax)
             if mode == "density":
                 fluid = material == 1
                 return (jnp.where(fluid, acc["rho"], density),
-                        halo_flag, need, pad_need)
+                        halo_flag, need)
             fluid = (material == 1)[:, None]
-            return (jnp.where(fluid, acc["dv"], 0.0),
-                    halo_flag, need, pad_need)
+            return (jnp.where(fluid, acc["dv"], 0.0), halo_flag, need)
 
         scalar_spec = P()  # pmax'd over shards -> replicated
 
@@ -437,14 +581,14 @@ class ShardedWCSPH(SolverBase):
             jax.shard_map,
             mesh=self.mesh,
             in_specs=(axis_spec,) + (axis_spec,) * len(_FIELD_KEYS),
-            out_specs=(axis_spec, scalar_spec, scalar_spec, scalar_spec),
+            out_specs=(axis_spec, scalar_spec, scalar_spec),
             check_vma=False,
         )
         def density_shard(ids_l, *fields):
             return sweep_shard("density", dens_k, ids_l, *fields)
 
         f = F.state_fields(state)
-        density, hflag_d, need_d, pad_d = density_shard(
+        density, hflag_d, need_d = density_shard(
             sorted_ids, *[f[k] for k in _FIELD_KEYS]
         )
         rho, pressure = tait_pressure(
@@ -456,14 +600,14 @@ class ShardedWCSPH(SolverBase):
             jax.shard_map,
             mesh=self.mesh,
             in_specs=(axis_spec,) + (axis_spec,) * len(_FIELD_KEYS),
-            out_specs=(axis_spec, scalar_spec, scalar_spec, scalar_spec),
+            out_specs=(axis_spec, scalar_spec, scalar_spec),
             check_vma=False,
         )
         def force_shard(ids_l, *fields):
             return sweep_shard("force", force_k, ids_l, *fields)
 
         f = F.state_fields(state)
-        d_velocity, hflag_f, need_f, pad_f = force_shard(
+        d_velocity, hflag_f, need_f = force_shard(
             sorted_ids, *[f[k] for k in _FIELD_KEYS]
         )
 
@@ -474,10 +618,6 @@ class ShardedWCSPH(SolverBase):
             occ_halo=jnp.maximum(
                 jnp.asarray(state.occ_halo, jnp.int32),
                 jnp.maximum(hflag_d, hflag_f).astype(jnp.int32),
-            ),
-            occ_rowpad=jnp.maximum(
-                jnp.asarray(state.occ_rowpad, jnp.int32),
-                jnp.maximum(pad_d, pad_f).astype(jnp.int32),
             ),
         )
 
@@ -495,6 +635,8 @@ class ShardedWCSPH(SolverBase):
         the cap (recompiling then would make no progress)."""
         h = int(new_halo if new_halo is not None else self.halo * 2)
         h = max(128, -(-h // 128) * 128)
+        b = self.sweep_cfg.block_size if self.sweep_cfg is not None else 128
+        h = -(-h // b) * b
         if self.n_shards > 1:
             h = min(h, (self.n_shards - 1) * self._shard_rows)
         if h == self.halo:
@@ -557,23 +699,41 @@ class ShardedWCSPH(SolverBase):
         return state
 
     def metrics(self, state: SimState) -> dict[str, jax.Array]:
+        """Sharded metrics: the physics diagnostics plus the occupancy /
+        capacity pairs the adaptive run() loop steers by (VERDICT r2 #8 —
+        the running per-dispatch maxima are surfaced instead of a live
+        re-measurement, which would cost a full distributed sort+plan
+        pass)."""
         params = self.params
+        cfg = self.sweep_cfg
 
-        @jax.jit
-        def _metrics(st: SimState):
-            fluid = st.fluid_mask
-            speed = jnp.sqrt(jnp.sum(st.v * st.v, axis=-1))
-            vmax = jnp.max(jnp.where(fluid, speed, 0.0))
-            rho_err = jnp.where(
-                fluid, jnp.abs(st.density - params.density0) / params.density0, 0.0
-            )
-            nf = jnp.maximum(jnp.sum(fluid), 1)
-            return {
-                "max_velocity": vmax,
-                "cfl": vmax * params.dt / params.support_length,
-                "avg_density_error": jnp.sum(rho_err) / nf,
-                "num_active": st.num_active,
-                "nan_count": jnp.sum(~jnp.isfinite(st.x)) + jnp.sum(~jnp.isfinite(st.v)),
-            }
+        if getattr(self, "_metrics_jit", None) is None:
+            @jax.jit
+            def _metrics(st: SimState):
+                fluid = st.fluid_mask
+                speed = jnp.sqrt(jnp.sum(st.v * st.v, axis=-1))
+                vmax = jnp.max(jnp.where(fluid, speed, 0.0))
+                rho_err = jnp.where(
+                    fluid, jnp.abs(st.density - params.density0) / params.density0, 0.0
+                )
+                nf = jnp.maximum(jnp.sum(fluid), 1)
+                return {
+                    "max_velocity": vmax,
+                    "cfl": vmax * params.dt / params.support_length,
+                    "avg_density_error": jnp.sum(rho_err) / nf,
+                    "max_density_error": jnp.max(rho_err),
+                    "num_active": st.num_active,
+                    "nan_count": jnp.sum(~jnp.isfinite(st.x)) + jnp.sum(~jnp.isfinite(st.v)),
+                    "max_run_length": jnp.asarray(st.occ_window, jnp.int32),
+                    "occ_halo": jnp.asarray(st.occ_halo, jnp.int32),
+                    "seg_pad_occ": jnp.asarray(st.occ_rowpad, jnp.int32),
+                }
 
-        return _metrics(state)
+            self._metrics_jit = _metrics
+        out = dict(self._metrics_jit(state))
+        out["run_cap"] = jnp.asarray(self._occ_cap(), jnp.int32)
+        out["halo_depth"] = jnp.asarray(self.halo or 0, jnp.int32)
+        out["seg_pad_cap"] = jnp.asarray(
+            cfg.pad_capacity if cfg is not None else 0, jnp.int32
+        )
+        return out
