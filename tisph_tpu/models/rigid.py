@@ -12,9 +12,12 @@ Scheme (Akinci-style coupling):
 - each body integrates as a rigid composite: v_com += dt (F/M + g),
   omega += dt I^-1 tau (inertia recomputed from the current particle
   distribution), and particle state updates in world space:
-  v_p = v_com + omega x r,  x_p += dt v_p.  The world-space incremental
-  rotation avoids carrying body-frame offsets through the per-step resort
-  (tiny dt keeps shape drift negligible over typical runs);
+  v_p = v_com + omega x r (the coupling velocity), while positions are
+  re-rigidified each step — x_p = com' + Rot(omega dt) (x - com), the
+  EXACT rotation operator, so the body shape is preserved to fp rounding
+  over arbitrarily long runs without carrying body-frame offsets through
+  the per-step resort (tests/test_rigid_dynamics.py::test_long_run_shape
+  soaks 5k steps);
 - wall contact: when a body's particles penetrate the domain padding, the
   penetration is pushed back on the COM and the COM velocity component is
   reflected with the collision factor (the rigid analog of
@@ -99,6 +102,36 @@ def _pad3(a):
     return jnp.pad(a, pad)
 
 
+def _rotation_matrix(phi3: jax.Array) -> jax.Array:
+    """Exact rotation matrix for the rotation vector ``phi3 = omega * dt``
+    (Rodrigues), series-safe at small angles:
+
+        R = I + (sin t / t) [phi]x + ((1 - cos t) / t^2) [phi]x^2
+
+    Applying the EXACT orthogonal map to the current COM offsets each step
+    (instead of the linearized ``r += dt * omega x r``) preserves the body
+    shape to fp rounding: the linearized update inflates every offset by
+    ``sqrt(1 + |omega dt|^2)`` per step — the measured long-run shape
+    drift (ROADMAP 'rigid' entry, VERDICT r2 #6)."""
+    t2 = jnp.sum(phi3 * phi3)
+    t = jnp.sqrt(t2)
+    small = t < 1e-4
+    # sin(t)/t and (1-cos(t))/t^2 with their series at t -> 0
+    a = jnp.where(small, 1.0 - t2 / 6.0, jnp.sin(t) / jnp.where(small, 1.0, t))
+    b = jnp.where(
+        small, 0.5 - t2 / 24.0, (1.0 - jnp.cos(t)) / jnp.where(small, 1.0, t2)
+    )
+    k = jnp.array(
+        [
+            [0.0, -phi3[2], phi3[1]],
+            [phi3[2], 0.0, -phi3[0]],
+            [-phi3[1], phi3[0], 0.0],
+        ],
+        dtype=jnp.float32,
+    )
+    return jnp.eye(3, dtype=jnp.float32) + a * k + b * (k @ k)
+
+
 def integrate_rigid(
     state: SimState,
     rigid: RigidState,
@@ -153,18 +186,24 @@ def integrate_rigid(
         hit = (pen_lo > 0) | (pen_hi > 0)
         # per-axis reflect+damp, matching the fluid clamp's v' = -c_f v
         v_com = jnp.where(hit, -params.collision_factor * v_com, v_com)
-        com = com + dt * v_com + shift
+        new_c = com + dt * v_com + shift
 
-        # particle update: v_p = v_com + omega x r, x advected rigidly
+        # particle update: v_p = v_com + omega x r (the coupling velocity
+        # the fluid sees), positions re-rigidified about the COM — the
+        # offsets are advected by the EXACT rotation operator Rot(omega dt)
+        # instead of the linearized x += dt v_p (which inflates |r| by
+        # sqrt(1 + |omega dt|^2) per step: measured long-run shape drift)
         om = omega[None, :]
-        v_rot = _cross(jnp.broadcast_to(om, (x.shape[0], 3)), _pad3(x - com))[:, :dim]
+        r_cur = _pad3(x - com)
+        v_rot = _cross(jnp.broadcast_to(om, (x.shape[0], 3)), r_cur)[:, :dim]
         v_p = v_com[None, :] + v_rot
-        x_p = x + dt * v_p + shift[None, :]
+        rot = _rotation_matrix(omega * dt)
+        x_p = new_c[None, :] + (r_cur @ rot.T)[:, :dim]
 
         x = jnp.where(mask[:, None], x_p, x)
         v = jnp.where(mask[:, None], v_p, v)
 
-        new_com.append(com)
+        new_com.append(new_c)
         new_vcom.append(v_com)
         new_omega.append(omega)
 
