@@ -216,6 +216,63 @@ class TestEmitter:
             np.asarray(sa.x), np.asarray(sb.x), atol=1e-6
         )
 
+    def test_rollout_emit_amortized_matches_manual_schedule(self):
+        """With resort_every = R > 1 on the seg layout, rollout_emit fuses
+        emission into the R-group rebuild loop (VERDICT r2 #7): build the
+        seg structure once per group, then emit + apply each substep.  The
+        fused dispatch must reproduce a manual host loop with exactly that
+        schedule, and the emission cadence must stay exact."""
+        from tisph_tpu.geometry.emitter import make_emitter_state, maybe_emit
+        from tisph_tpu.models.state import pad_state_capacity
+        from tisph_tpu.ops.neighbors import SweepConfig
+
+        raw = {
+            "configuration": {
+                "dim": 2, "domainStart": [0, 0], "domainEnd": [2, 2],
+                "particleRadius": 0.02, "density0": 1000,
+                "gravitation": [0, -9.81], "c_s": 50.0,
+            },
+            "fluidBlocks": [
+                {"start": [0.5, 0.3], "end": [0.9, 0.6], "velocity": [0, 0],
+                 "density": 1000.0, "color": [50, 100, 200]}
+            ],
+            "emitters": [
+                {"start": [1.0, 1.5], "end": [1.08, 1.5001],
+                 "velocity": [0.0, -1.0], "interval": 7, "maxParticles": 40}
+            ],
+        }
+        R = 2
+        scene = tt.scene_from_dict(raw)
+        solver = tt.WCSPH(
+            scene,
+            sweep_cfg=SweepConfig(
+                impl="pallas", block_size=128, window_cap=512, tile=128,
+                interpret=True, layout="seg", pad_capacity=8192,
+                resort_every=R,
+            ),
+        )
+        state0 = solver.bind(
+            pad_state_capacity(tt.build_state(scene, extra_capacity=128), 1536)
+        )
+        es0 = make_emitter_state(scene.emitters[0], scene)
+        vol0 = scene.particle_volume0
+
+        steps = 10
+        sa, ea = state0, es0
+        for g in range(steps // R):
+            sa, cache = solver._seg_build(sa)
+            for _ in range(R):
+                sa, ea = maybe_emit(sa, ea, vol0)
+                sa = solver._seg_apply(sa, cache)
+        sb, ems = solver.rollout_emit(state0, [es0], steps)
+        eb = ems[0]
+        assert int(ea.emitted) > 0  # the cadence actually fired
+        assert int(sa.num_active) == int(sb.num_active)
+        assert int(ea.emitted) == int(eb.emitted)
+        np.testing.assert_allclose(
+            np.asarray(sa.x), np.asarray(sb.x), atol=1e-6
+        )
+
 
 def test_domain_wireframe():
     from tisph_tpu.utils.lines import domain_wireframe
