@@ -97,7 +97,9 @@ def test_seg_density_matches_bruteforce(dim, mxu):
         pack, meta, spec, params, scfg.block_size, scfg.window_cap,
         tile=scfg.tile, interpret=_INTERPRET, mxu=scfg.mxu,
     )
-    rho_p = np.asarray(rho_blk[plan.back_idx])
+    # compact kernel output: valid where plan.back_valid (all active
+    # lanes here, asserted by test_seg_plan_roundtrip)
+    rho_p = np.asarray(rho_blk)
 
     x = np.asarray(state_s.x, dtype=np.float64)
     act = np.asarray(state_s.material) != -1
@@ -134,7 +136,7 @@ def test_seg_force_matches_blocked(mxu):
         pack, meta, spec, params, scfg.block_size, scfg.window_cap,
         tile=scfg.tile, interpret=_INTERPRET, mxu=scfg.mxu,
     )
-    dv_p = np.asarray(dv_blk[plan.back_idx])
+    dv_p = np.asarray(dv_blk)
     fluid = np.asarray(state_s.material) == 1
     scale = np.abs(dv_b[fluid]).max()
     # mxu: the Gram-matmul r2 / expanded reductions reassociate f32 sums;

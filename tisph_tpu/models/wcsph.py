@@ -116,8 +116,9 @@ class WCSPH(SolverBase):
         """Pallas step over anchor-confined logical blocks (grid.seg_plan):
         the particle array and the pack stay compact-sorted; dense grid
         rows get their own z-trimmed candidate windows while sparse-row
-        runs share multi-row blocks (spray-safe), and sweep outputs land in
-        block-slot space, gathered back via the plan's inverse map."""
+        runs share multi-row blocks (spray-safe), and sweep outputs are
+        written COMPACTLY by the kernels through the per-block own-lane
+        mask (valid where plan.back_valid)."""
         state, cache = self._seg_build(state)
         return self._seg_apply(state, cache)
 
@@ -163,11 +164,11 @@ class WCSPH(SolverBase):
         from tisph_tpu.ops.pallas import sweeps as ps
 
         spec, params, scfg = self.spec, self.params, self.sweep_cfg
-        delta_blk = ps.bvol_sweep_seg(
+        delta_c = ps.bvol_sweep_seg(
             pack, meta, spec, params, scfg.block_size, scfg.window_cap, **kw
         )
         keep = plan.back_valid & state.boundary_mask
-        delta = jnp.where(keep, delta_blk[plan.back_idx], 1.0)
+        delta = jnp.where(keep, delta_c, 1.0)
         volume = jnp.where(
             keep, 1.0 / jnp.maximum(delta, 1e-10), state.volume
         )
@@ -214,22 +215,22 @@ class WCSPH(SolverBase):
                   fast_math=scfg.fast_math, mxu=scfg.mxu)
         if self.boundary_mode == "per_step":
             state, pack = self._seg_boundary_volume(state, pack, plan, meta, kw)
-        rho_blk = ps.density_sweep_seg(
+        rho_c = ps.density_sweep_seg(
             pack, meta, spec, params,
             scfg.block_size, scfg.window_cap, **kw
         )
         keep = plan.back_valid & state.fluid_mask
-        rho = jnp.where(keep, rho_blk[plan.back_idx], state.density)
+        rho = jnp.where(keep, rho_c, state.density)
         rho = F.apply_density_mode(rho, state, params)
         rho, pressure = F.compute_pressures(rho, params)
         state = dataclasses.replace(state, density=rho, pressure=pressure)
         pack = ps.repack_eos(pack, rho, pressure)
 
-        dv_blk = ps.force_sweep_seg(
+        dv_c = ps.force_sweep_seg(
             pack, meta, spec, params,
             scfg.block_size, scfg.window_cap, **kw
         )
-        dv = jnp.where(keep[:, None], dv_blk[plan.back_idx], 0.0)
+        dv = jnp.where(keep[:, None], dv_c, 0.0)
 
         state = F.advect(state, dv, params)
         return F.enforce_domain_boundary(state, params)

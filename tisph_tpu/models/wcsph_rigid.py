@@ -100,7 +100,7 @@ class WCSPHRigid(WCSPH):
             pack, meta, spec, params, scfg.block_size, scfg.window_cap, **kw
         )
         keep_f = plan.back_valid & state.fluid_mask
-        rho = jnp.where(keep_f, rho_blk[plan.back_idx], state.density)
+        rho = jnp.where(keep_f, rho_blk, state.density)
         rho = F.apply_density_mode(rho, state, params)
         rho, pressure = F.compute_pressures(rho, params)
         state = dataclasses.replace(state, density=rho, pressure=pressure)
@@ -109,13 +109,13 @@ class WCSPHRigid(WCSPH):
         dv_blk = ps.force_sweep_seg(
             pack, meta, spec, params, scfg.block_size, scfg.window_cap, **kw
         )
-        d_velocity = jnp.where(keep_f[:, None], dv_blk[plan.back_idx], 0.0)
+        d_velocity = jnp.where(keep_f[:, None], dv_blk, 0.0)
 
         rx_blk = ps.reaction_sweep_seg(
             pack, meta, spec, params, scfg.block_size, scfg.window_cap, **kw
         )
         keep_b = plan.back_valid & state.boundary_mask
-        reactions = jnp.where(keep_b[:, None], rx_blk[plan.back_idx], 0.0)
+        reactions = jnp.where(keep_b[:, None], rx_blk, 0.0)
 
         state = F.advect(state, d_velocity, params)
         state, rigid = integrate_rigid(state, rigid, reactions, params)

@@ -120,6 +120,11 @@ class _TileGeom(NamedTuple):
     dot: object          # () -> (B, T) lazy sum_a (vi-vj)_a (xi-xj)_a
     reduce_s: object     # (B, T) -> (B,) row sum
     reduce_v: object     # (coef, acc_in) -> updated per-axis accumulators
+    # True when reduce_v annihilates the self pair exactly (the VPU form
+    # multiplies by dx, bitwise 0 for i == j); the MXU expansion does NOT
+    # (the cancellation happens across two large sums), so gradient modes
+    # add a geometric r2 test there instead.
+    self_safe: bool = True
 
 
 def _vpu_geom(dim, xi, vi, jrow):
@@ -145,7 +150,7 @@ def _vpu_geom(dim, xi, vi, jrow):
             acc_in[a] + jnp.sum(coef * dx[a], axis=1) for a in range(dim)
         )
 
-    return _TileGeom(r2, dot, reduce_s, reduce_v)
+    return _TileGeom(r2, dot, reduce_s, reduce_v, self_safe=True)
 
 
 # f32 Gram matmuls need full-precision passes: the MXU's default bf16
@@ -191,7 +196,7 @@ def _mxu_geom(dim, xi, vi, jslab):
             out.append(acc_in[a] + (xi[a] * s0 - sa))
         return tuple(out)
 
-    return _TileGeom(r2, dot, reduce_s, reduce_v)
+    return _TileGeom(r2, dot, reduce_s, reduce_v, self_safe=False)
 
 
 def _tile_math(mode, dim, h, k_sig, params, fast_math,
@@ -230,11 +235,16 @@ def _tile_math(mode, dim, h, k_sig, params, fast_math,
         return (a0 + geom.reduce_s(jnp.where(valid, contrib, 0.0)),)
 
     # grad W = gmag * r_vec;  1/(r_norm h) = rs / h.  No small-r guard:
-    # mag -> 0 linearly as q -> 0, so mag * rs stays bounded (the former
-    # r_norm > 1e-5 select only nulled the self pair, which the own test
-    # already excludes in the modes that use gmag).
+    # mag -> 0 linearly as q -> 0, so mag * rs stays bounded, and the
+    # self pair needs no exclusion — reduce_v multiplies every term by
+    # dx, bitwise 0 for i == j (when geom.self_safe; the MXU expansion
+    # instead masks it geometrically below).
     mag = (24.0 * p2sq - 6.0 * p1sq) * k_sig
     gmag = mag * rs * (1.0 / h)
+    if not geom.self_safe:
+        # Gram-form r2 of the self pair is fp noise (~eps |x_c|^2), not
+        # exactly 0; mask it out well below any physical pair distance
+        valid = valid & (r2 > 1e-4 * h * h)
 
     if mode == "reaction":
         # fluid -> boundary reaction (forces.rigid_reaction_kernel):
@@ -364,14 +374,6 @@ def _sweep_kernel(
 
     blk = pl.program_id(0)
     mrow = jax.lax.rem(blk, 8)
-    # self-pair exclusion uses j-array coordinates: the i side sits at an
-    # offset within the j array in the halo-extended sharded setting; the
-    # offset rides in the spare last meta column (0 single-device)
-    i_off = meta_ref[mrow, 127]
-    own = (
-        i_off + blk * block
-        + jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
-    )
 
     ivals = _ivals_acc0(mode, dim, block, k_sig, params, lambda r: ipack_ref[r, :])
     acc0 = ivals.pop("acc0")
@@ -422,15 +424,13 @@ def _sweep_kernel(
 
             geom = _vpu_geom(dim, xi, vi, jrow)
             # id-range test alone (see the seg kernel for why the r2
-            # cutoff and window bounds are redundant); self-exclusion only
-            # for the gradient modes (density/bvol fold the self W(0)
-            # term into the sweep, _ivals_acc0)
+            # cutoff and window bounds are redundant).  NO self-exclusion
+            # anywhere: density/bvol fold the self W(0) term into the
+            # sweep (_ivals_acc0), and the gradient modes' self pair
+            # contributes exactly zero — reduce_v multiplies every term by
+            # dx, which is bitwise 0 for i == j (both sides load the SAME
+            # packed value), while the 1e-12 rsqrt clamp keeps coef finite.
             valid = (idw >= c_lo) & (idw <= c_hi)
-            if mode in ("force", "reaction"):
-                g = ws + t * tile + jax.lax.broadcasted_iota(
-                    jnp.int32, (1, tile), 1
-                )
-                valid = valid & (g != own)
             return _tile_math(mode, dim, h, k_sig, params, fast_math,
                               ivals, jrow, geom, valid, acc_in)
 
@@ -550,6 +550,13 @@ def force_sweep(pack, meta, spec, params, block, window, tile=256,
 # ---------------------------------------------------------------------------
 
 _IOFF = 127  # seg meta scalar column: sharded i-side offset
+# per-block authoritative lane range [own_lo, own_hi): the lanes of the
+# block's compact slab that belong to its OWN anchor (leading/overhang
+# lanes compute garbage against the wrong windows); the kernel writes its
+# compact output block through this mask, which replaces the former
+# block-slot -> compact back-gather (~2.8 ms per output at 195k)
+_OWN_LO = 125
+_OWN_HI = 126
 
 
 class SegMeta(NamedTuple):
@@ -653,11 +660,21 @@ def seg_block_meta(
         meta.at[:, rows : 2 * rows].set(delta)
         .at[:, 2 * rows : 3 * rows].set(lens)
         .at[:, 3 * rows : 4 * rows].set(ws128)
+        .at[:, _OWN_LO].set(plan.own_lo.astype(jnp.int32))
+        .at[:, _OWN_HI].set(
+            (plan.own_lo + plan.seg_len).astype(jnp.int32)
+        )
         .at[:, _IOFF].set(jnp.asarray(i_offset, jnp.int32))
     )
     nb8 = int(-(-block_cap // 8) * 8)
     meta = jnp.pad(meta, ((0, nb8 - block_cap), (0, 0)))
-    iblk = jnp.pad(plan.seg_start // block, (0, nb8 - block_cap))
+    # iblk pads with the LAST value, not 0: the compact-output write
+    # revisits out block iblk[k] and relies on equal-iblk runs being
+    # CONSECUTIVE (Mosaic keeps the block in VMEM across them); zero-pad
+    # would revisit out block 0 non-consecutively and flush garbage over
+    # its real values.  seg_plan guarantees monotone seg_start, so
+    # edge-padding preserves the invariant.
+    iblk = jnp.pad(plan.seg_start // block, (0, nb8 - block_cap), mode="edge")
     wblk = jnp.pad(wblk, ((0, nb8 - block_cap), (0, 0))).reshape(-1)
     return SegMeta(meta=meta, iblk=iblk, wblk=wblk), need
 
@@ -675,7 +692,6 @@ def _seg_sweep_kernel(
     jbuf,           # (2, rows, FR, W) VMEM scratch — window double buffer
     sems,           # (2, rows) DMA semaphores
     clh,            # (2*rows, B) f32 VMEM scratch — per-row c_lo / c_hi
-    g0s,            # (rows,) i32 SMEM scratch — per-row window base
     *,
     mode: str,
     spec: GridSpec,
@@ -692,7 +708,10 @@ def _seg_sweep_kernel(
     j must lie in THIS stencil offset's cell range of its i — computed from
     sort-time ids on both sides, so the structure stays consistent under
     resort_every amortization); the spline clamps make the r2 < h^2 cutoff
-    exact, and the gradient modes additionally exclude the self pair.
+    exact, and NO mode needs a self-pair test (density/bvol fold the self
+    W(0) term in; the gradient modes' self pair contributes exactly zero
+    because reduce_v multiplies by dx, bitwise 0 for i == j, with coef
+    kept finite by the rsqrt clamp).
 
     Loop structure (round 3): ONE fori_loop per block over ALL (stencil
     row, tile) pairs instead of one loop per stencil row — 9 loop
@@ -720,7 +739,6 @@ def _seg_sweep_kernel(
     blk = pl.program_id(0)
     nblk = pl.num_programs(0)
     mrow = jax.lax.rem(blk, 8)
-    i_off = meta_ref[mrow, _IOFF]
     slot = jax.lax.rem(blk, 2)
 
     def dma(s, row, b):
@@ -751,11 +769,6 @@ def _seg_sweep_kernel(
     for s in strides:
         ci.append(rem // int(s))
         rem = jax.lax.rem(rem, jnp.int32(int(s)))
-    # own index in j-array coordinates: compact position of each i lane
-    own = (
-        i_off + iblk_ref[blk] * block
-        + jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
-    )
 
     ivals = _ivals_acc0(mode, dim, block, k_sig, params, irow)
     acc0 = ivals.pop("acc0")
@@ -781,7 +794,6 @@ def _seg_sweep_kernel(
         clh[rows + row, :] = jnp.where(
             valid_row, base + z_hi, 0
         ).astype(jnp.float32)
-        g0s[row] = meta_ref[mrow, 3 * rows + row]
 
     for r in range(rows):
         dma(slot, r, blk).wait()
@@ -826,16 +838,13 @@ def _seg_sweep_kernel(
         # and zero-padding lanes carry zero mass/material flags so every
         # mode's contribution vanishes there.  The r2 < h^2 cutoff is
         # exact in the spline clamps (W and dW/dq are exactly 0 for
-        # q >= 1).  Self-exclusion is only needed by the gradient modes
-        # (density/bvol fold the self W(0) term into the sweep).
+        # q >= 1).  No self-pair test in ANY mode: density/bvol fold the
+        # self W(0) term into the sweep, and the gradient modes' self
+        # pair contributes exactly zero (reduce_v multiplies by dx,
+        # bitwise 0 for i == j; coef stays finite via the rsqrt clamp).
         c_lo = clh[r, :][:, None]
         c_hi = clh[rows + r, :][:, None]
         valid = (idw >= c_lo) & (idw <= c_hi)
-        if mode in ("force", "reaction"):
-            off = t * tile + jax.lax.broadcasted_iota(
-                jnp.int32, (1, tile), 1
-            )
-            valid = valid & ((g0s[r] + off) != own)
         return _tile_math(mode, dim, h, k_sig, params, fast_math,
                           ivals, jrow, geom, valid, acc_in)
 
@@ -844,10 +853,25 @@ def _seg_sweep_kernel(
     else:
         acc = jax.lax.fori_loop(0, ntot, tile_body, acc0)
 
-    for c, col in enumerate(acc):
-        out_ref[:, c] = col
-    for c in range(len(acc), out_ref.shape[1]):
-        out_ref[:, c] = jnp.zeros((block,), jnp.float32)
+    # COMPACT output: this block's out tile is compact rows
+    # [iblk*block, +block); only the authoritative lanes [own_lo, own_hi)
+    # (this block's own anchor range) are written, the rest keep whatever
+    # the out buffer holds — the overlapping block of the SAME compact
+    # slab (consecutive in the grid, so the tile stays resident in VMEM)
+    # fills its own lanes, and lanes no block owns (inactive tail) are
+    # garbage the caller masks with SegPlan.back_valid.  This replaces
+    # the block-slot -> compact back-gather entirely.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
+    own_mask = (lane >= meta_ref[mrow, _OWN_LO]) & (
+        lane < meta_ref[mrow, _OWN_HI]
+    )
+    ncols = out_ref.shape[1]
+    new = jnp.concatenate(
+        [col[:, None] for col in acc]
+        + [jnp.zeros((block, ncols - len(acc)), jnp.float32)],
+        axis=1,
+    )
+    out_ref[:, :] = jnp.where(own_mask, new, out_ref[:, :])
 
 
 def _run_sweep_seg(pack, meta: "SegMeta", mode, spec, params, block, window,
@@ -890,26 +914,32 @@ def _run_sweep_seg(pack, meta: "SegMeta", mode, spec, params, block, window,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.ANY),
             ],
+            # COMPACT output: block k writes compact rows [iblk[k]*block,
+            # +block) through its own-lane mask.  Equal-iblk runs are
+            # consecutive (seg_plan monotone seg_start + edge-padded iblk),
+            # so Mosaic keeps the revisited out tile in VMEM and the
+            # read-modify-write merge in the kernel is sound.
             out_specs=pl.BlockSpec((block, out_cols),
-                                   lambda k, iblk, wblk: (k, 0),
+                                   lambda k, iblk, wblk: (iblk[k], 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((2, rows, f_rows, w_fetch), jnp.float32),
                 pltpu.SemaphoreType.DMA((2, rows)),
                 pltpu.VMEM((2 * rows, block), jnp.float32),
-                pltpu.SMEM((rows,), jnp.int32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((num_blocks * block, out_cols), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (-(-n // block) * block, out_cols), jnp.float32
+        ),
         interpret=interpret,
     )(meta.iblk, meta.wblk, meta.meta, pack_j, pack_j)
-    return out
+    return out[:n]
 
 
 def density_sweep_seg(pack, meta: "SegMeta", spec, params, block, window,
                       tile=256, interpret=False, fast_math=True, mxu=False):
-    """Seg-layout density sweep; output in block-slot space
-    (block_cap * block,) — gather back via SegPlan.back_idx."""
+    """Seg-layout density sweep; COMPACT (n,) output — valid where
+    SegPlan.back_valid (lanes no block owns hold garbage)."""
     out = _run_sweep_seg(pack, meta, "density", spec, params,
                          block, window, tile, interpret, fast_math, mxu)
     return out[:, 0]
@@ -917,7 +947,8 @@ def density_sweep_seg(pack, meta: "SegMeta", spec, params, block, window,
 
 def force_sweep_seg(pack, meta: "SegMeta", spec, params, block, window,
                     tile=256, interpret=False, fast_math=True, mxu=False):
-    """Seg-layout fused force sweep; output in block-slot space."""
+    """Seg-layout fused force sweep; COMPACT (n, dim) output — valid
+    where SegPlan.back_valid."""
     out = _run_sweep_seg(pack, meta, "force", spec, params,
                          block, window, tile, interpret, fast_math, mxu)
     return out[:, : spec.dim]
@@ -925,7 +956,8 @@ def force_sweep_seg(pack, meta: "SegMeta", spec, params, block, window,
 
 def bvol_sweep_seg(pack, meta: "SegMeta", spec, params, block, window,
                    tile=256, interpret=False, fast_math=True, mxu=False):
-    """Seg-layout boundary-volume denominator; block-slot space."""
+    """Seg-layout boundary-volume denominator; COMPACT (n,) output —
+    valid where SegPlan.back_valid."""
     out = _run_sweep_seg(pack, meta, "bvol", spec, params,
                          block, window, tile, interpret, fast_math, mxu)
     return out[:, 0]
@@ -933,7 +965,8 @@ def bvol_sweep_seg(pack, meta: "SegMeta", spec, params, block, window,
 
 def reaction_sweep_seg(pack, meta: "SegMeta", spec, params, block, window,
                        tile=256, interpret=False, fast_math=True, mxu=False):
-    """Seg-layout fluid->boundary reaction force; block-slot space."""
+    """Seg-layout fluid->boundary reaction force; COMPACT (n, dim)
+    output — valid where SegPlan.back_valid."""
     out = _run_sweep_seg(pack, meta, "reaction", spec, params,
                          block, window, tile, interpret, fast_math, mxu)
     return out[:, : spec.dim]

@@ -361,7 +361,7 @@ class ShardedWCSPH(SolverBase):
             in_specs=(axis_spec,),
             out_specs=(
                 ps.SegMeta(axis_spec, axis_spec, axis_spec),
-                axis_spec, axis_spec, P(), P(),
+                axis_spec, P(), P(),
             ),
             check_vma=False,
         )
@@ -387,9 +387,9 @@ class ShardedWCSPH(SolverBase):
             if self.n_shards > 1:
                 need = jax.lax.pmax(need, ax)
                 pad_need = jax.lax.pmax(pad_need, ax)
-            return meta, plan.back_idx, plan.back_valid, need, pad_need
+            return meta, plan.back_valid, need, pad_need
 
-        meta, back_idx, back_valid, need, pad_need = build_shard(sorted_ids)
+        meta, back_valid, need, pad_need = build_shard(sorted_ids)
         state = self._track_occ(state, need)
         state = dataclasses.replace(
             state,
@@ -397,7 +397,7 @@ class ShardedWCSPH(SolverBase):
                 jnp.asarray(state.occ_rowpad, jnp.int32), pad_need
             ),
         )
-        return state, (meta, back_idx, back_valid, sorted_ids)
+        return state, (meta, back_valid, sorted_ids)
 
     def _seg_apply(self, state: SimState, cache) -> SimState:
         """One physics substep against the (possibly stale) cached seg
@@ -410,13 +410,14 @@ class ShardedWCSPH(SolverBase):
         ax = self.axis
         hn, shard_rows = self.halo, self._shard_rows
         hops = self._hops()
-        meta, back_idx, back_valid, sorted_ids = cache
+        meta, back_valid, sorted_ids = cache
         axis_spec = P(ax)
         kw = dict(tile=scfg.tile, interpret=scfg.interpret,
                   fast_math=scfg.fast_math)
 
-        def sweep_shard(mode, ids_l, meta_c, bidx, bval, *fields):
+        def sweep_shard(mode, ids_l, meta_c, bval, *fields):
             f_local = dict(zip(_FIELD_KEYS, fields))
+            n_local = f_local["x"].shape[0]
             ext, off = self._extend(
                 {**f_local, "ids": ids_l}, hn, hops, shard_rows
             )
@@ -430,31 +431,34 @@ class ShardedWCSPH(SolverBase):
             )
             fn = (ps.density_sweep_seg if mode == "density"
                   else ps.force_sweep_seg)
-            out_blk = fn(pack_ext, meta_c, spec, params, scfg.block_size,
-                         scfg.window_cap, **kw)
+            # COMPACT output over the extended array; this shard's rows
+            # start at ``off`` (the meta's iblk carries the same offset)
+            out_c = fn(pack_ext, meta_c, spec, params, scfg.block_size,
+                       scfg.window_cap, **kw)
+            out_l = jax.lax.dynamic_slice_in_dim(out_c, off, n_local, axis=0)
             fluid = f_local["material"] == 1
             if mode == "density":
                 keep = bval & fluid
-                res = jnp.where(keep, out_blk[bidx], f_local["density"])
+                res = jnp.where(keep, out_l, f_local["density"])
             else:
                 keep = (bval & fluid)[:, None]
-                res = jnp.where(keep, out_blk[bidx], 0.0)
+                res = jnp.where(keep, out_l, 0.0)
             return res, halo_flag
 
         meta_spec = ps.SegMeta(axis_spec, axis_spec, axis_spec)
         in_specs = (
-            (axis_spec, meta_spec, axis_spec, axis_spec)
+            (axis_spec, meta_spec, axis_spec)
             + (axis_spec,) * len(_FIELD_KEYS)
         )
 
         @partial(jax.shard_map, mesh=self.mesh, in_specs=in_specs,
                  out_specs=(axis_spec, P()), check_vma=False)
-        def density_shard(ids_l, meta_c, bidx, bval, *fields):
-            return sweep_shard("density", ids_l, meta_c, bidx, bval, *fields)
+        def density_shard(ids_l, meta_c, bval, *fields):
+            return sweep_shard("density", ids_l, meta_c, bval, *fields)
 
         f = F.state_fields(state)
         density, hflag_d = density_shard(
-            sorted_ids, meta, back_idx, back_valid,
+            sorted_ids, meta, back_valid,
             *[f[k] for k in _FIELD_KEYS],
         )
         rho, pressure = tait_pressure(
@@ -464,12 +468,12 @@ class ShardedWCSPH(SolverBase):
 
         @partial(jax.shard_map, mesh=self.mesh, in_specs=in_specs,
                  out_specs=(axis_spec, P()), check_vma=False)
-        def force_shard(ids_l, meta_c, bidx, bval, *fields):
-            return sweep_shard("force", ids_l, meta_c, bidx, bval, *fields)
+        def force_shard(ids_l, meta_c, bval, *fields):
+            return sweep_shard("force", ids_l, meta_c, bval, *fields)
 
         f = F.state_fields(state)
         d_velocity, hflag_f = force_shard(
-            sorted_ids, meta, back_idx, back_valid,
+            sorted_ids, meta, back_valid,
             *[f[k] for k in _FIELD_KEYS],
         )
 

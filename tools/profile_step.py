@@ -116,13 +116,8 @@ def main():
         )
         t_meta = timeit(meta_fn, (plan, ids), args.reps)
         meta, _ = meta_fn(plan, ids)
-        back_fn = jax.jit(lambda a, plan: a[plan.back_idx])
-        extra["back-gather"] = timeit(
-            back_fn,
-            (jnp.zeros((meta.meta.shape[0] * scfg.block_size,), jnp.float32),
-             plan),
-            args.reps,
-        )
+        # (no back-gather phase anymore: the seg kernels write their
+        # output compactly through the per-block own-lane mask)
         dens_fn = lambda pack, meta: ps.density_sweep_seg(
             pack, meta, spec, params, scfg.block_size, scfg.window_cap,
             tile=scfg.tile, fast_math=scfg.fast_math, mxu=scfg.mxu,
