@@ -118,13 +118,21 @@ class _TileGeom(NamedTuple):
 
     r2: jax.Array        # (B, T)
     dot: object          # () -> (B, T) lazy sum_a (vi-vj)_a (xi-xj)_a
-    reduce_s: object     # (B, T) -> (B,) row sum
+    reduce_s: object     # per-tile contribution fold into the accumulator
     reduce_v: object     # (coef, acc_in) -> updated per-axis accumulators
     # True when reduce_v annihilates the self pair exactly (the VPU form
     # multiplies by dx, bitwise 0 for i == j); the MXU expansion does NOT
     # (the cancellation happens across two large sums), so gradient modes
     # add a geometric r2 test there instead.
     self_safe: bool = True
+    # True when the accumulators are LANE-SHAPED (block, tile): per-tile
+    # folds are pure elementwise adds/FMAs and the (B, T) -> (B,) lane
+    # reduction happens ONCE per block at output time (the per-tile
+    # horizontal sum was ~log2(T) cross-lane ops per accumulator per
+    # tile).  The kernel finalizer also applies the deferred k_sig scale
+    # (every mode's pair contribution is uniformly proportional to the
+    # spline normalisation, so it is hoisted out of the pair math).
+    lane_acc: bool = False
 
 
 def _vpu_geom(dim, xi, vi, jrow):
@@ -143,14 +151,13 @@ def _vpu_geom(dim, xi, vi, jrow):
         return d
 
     def reduce_s(m):
-        return jnp.sum(m, axis=1)
+        return m  # lane-shaped: caller adds, kernel reduces once at the end
 
     def reduce_v(coef, acc_in):
-        return tuple(
-            acc_in[a] + jnp.sum(coef * dx[a], axis=1) for a in range(dim)
-        )
+        return tuple(acc_in[a] + coef * dx[a] for a in range(dim))
 
-    return _TileGeom(r2, dot, reduce_s, reduce_v, self_safe=True)
+    return _TileGeom(r2, dot, reduce_s, reduce_v,
+                     self_safe=True, lane_acc=True)
 
 
 # f32 Gram matmuls need full-precision passes: the MXU's default bf16
@@ -196,7 +203,8 @@ def _mxu_geom(dim, xi, vi, jslab):
             out.append(acc_in[a] + (xi[a] * s0 - sa))
         return tuple(out)
 
-    return _TileGeom(r2, dot, reduce_s, reduce_v, self_safe=False)
+    return _TileGeom(r2, dot, reduce_s, reduce_v,
+                     self_safe=False, lane_acc=False)
 
 
 def _tile_math(mode, dim, h, k_sig, params, fast_math,
@@ -220,7 +228,12 @@ def _tile_math(mode, dim, h, k_sig, params, fast_math,
     p2 = jnp.maximum(0.5 - q, 0.0)
     p1sq = p1 * p1
     p2sq = p2 * p2
-    w = (2.0 * p1 * p1sq - 8.0 * p2 * p2sq) * k_sig
+    # lane_acc: the k_sig spline normalisation is DEFERRED to the kernel's
+    # one-per-block finalizer (every mode's contribution is uniformly
+    # proportional to it) — saves the two per-pair scale muls.
+    w = 2.0 * p1 * p1sq - 8.0 * p2 * p2sq
+    if not geom.lane_acc:
+        w = w * k_sig
 
     if mode == "density":
         contrib = jrow(_EFFM)[None, :] * w
@@ -239,8 +252,14 @@ def _tile_math(mode, dim, h, k_sig, params, fast_math,
     # self pair needs no exclusion — reduce_v multiplies every term by
     # dx, bitwise 0 for i == j (when geom.self_safe; the MXU expansion
     # instead masks it geometrically below).
-    mag = (24.0 * p2sq - 6.0 * p1sq) * k_sig
-    gmag = mag * rs * (1.0 / h)
+    # lane_acc defers BOTH uniform scales of the gradient modes, k_sig
+    # AND the 1/h of grad W, to the finalizer (_fin_scale); the cohesion
+    # term, which has no 1/h, compensates with an h folded into coh_i.
+    mag = 24.0 * p2sq - 6.0 * p1sq
+    if geom.lane_acc:
+        gmag = mag * rs
+    else:
+        gmag = (mag * k_sig) * rs * (1.0 / h)
     if not geom.self_safe:
         # Gram-form r2 of the self pair is fp noise (~eps |x_c|^2), not
         # exactly 0; mask it out well below any physical pair distance
@@ -261,7 +280,8 @@ def _tile_math(mode, dim, h, k_sig, params, fast_math,
             dot_neg = jnp.minimum(dot, 0.0) / (r2 + 0.01 * h * h)
             inv_rho_j = 1.0 / jnp.maximum(jrow(_RHO)[None, :], 1e-12)
         nu_b = (params.boundary_sigma * h * params.c_s * 0.5) * inv_rho_j
-        coef = jrow(_FL)[None, :] * jrow(_M)[None, :] * (
+        # flm row = fl * m precomputed at pack time
+        coef = jrow(_FLM)[None, :] * (
             nu_b * dot_neg - jrow(_PRHO2)[None, :]
         )
         coef = jnp.where(valid, ivals["bvol_i"] * coef * gmag, 0.0)
@@ -291,50 +311,77 @@ def _tile_math(mode, dim, h, k_sig, params, fast_math,
         inv_rho_sum = 1.0 / (rho_i + rho_j)
 
     nu_f = (2.0 * params.viscosity * h * params.c_s) * inv_rho_sum
-    grad_coef = flm * (nu_f * dot_neg - (p_rho2_i + p_rho2_j)) + bdv * (
-        nu_b_i * dot_neg - p_rho2_i
-    )
+    # algebraic regroup of flm*(nu_f*dot_neg - (pi+pj)) + bdv*(nu_b_i*
+    # dot_neg - pi): the pressure part collapses through flm + bdv = effm
+    # (a loaded row) to effm*pi + flm*pj — two ops fewer per pair
+    visc = dot_neg * (flm * nu_f + bdv * nu_b_i)
+    press = jrow(_EFFM)[None, :] * p_rho2_i + flm * p_rho2_j
+    grad_coef = visc - press
     coef = jnp.where(valid, grad_coef * gmag + (coh_i * flm) * w, 0.0)
     return geom.reduce_v(coef, acc_in)
 
 
-def _ivals_acc0(mode, dim, block, k_sig, params, irow):
+def _fin_scale(mode, k_sig, h):
+    """Uniform per-pair scale deferred to the lane_acc finalizer: the
+    spline normalisation for every mode, times grad W's 1/h for the
+    gradient modes (whose cohesion term compensates via coh_i)."""
+    return k_sig / h if mode in ("force", "reaction") else k_sig
+
+
+def _ivals_acc0(mode, dim, block, k_sig, params, irow,
+                lane_acc=False, tile=None):
     """Per-i operands + initial accumulators, hoisted to the kernel
     preamble (computed ONCE per block, not per tile): includes the force
     tile's per-i viscosity/cohesion coefficients that used to cost a
     divide + multiply per (pair, tile) iteration.  Returns a dict with the
-    mode's ``ivals`` plus an ``acc0`` entry the caller pops."""
+    mode's ``ivals`` plus an ``acc0`` entry the caller pops (and, for
+    lane_acc force, a ``bias`` of per-axis constants the kernel adds after
+    its one-per-block lane reduction — the gravity offset cannot live in a
+    lane-shaped accumulator that gets summed over T lanes)."""
     h = params.support_length
+    shape = (block, tile) if lane_acc else (block,)
     if mode in ("density", "bvol"):
         # self term rides IN the sweep: j = i passes the id test, W(0) =
         # k_sig, and effm_i = m_i for the fluid i the density output is
         # kept for (bd_i = 1 for the boundary i bvol keeps) — so these
         # modes need no self-exclusion test at all.
-        return {"acc0": (jnp.zeros((block,), jnp.float32),)}
+        return {"acc0": (jnp.zeros(shape, jnp.float32),)}
     if mode in ("probe", "probe_noloop"):
         return {"acc0": (jnp.zeros((block,), jnp.float32),)}
     if mode == "reaction":
         return {
             "vi": [irow(_V + a) for a in range(dim)],
             "bvol_i": (params.density0 * irow(_VOL))[:, None],
-            "acc0": tuple(jnp.zeros((block,), jnp.float32) for _ in range(dim)),
+            "acc0": tuple(jnp.zeros(shape, jnp.float32) for _ in range(dim)),
         }
     rho_i = irow(_RHO)
-    return {
+    # lane_acc finalizer scales gradient-mode sums by k_sig/h (gmag's two
+    # uniform factors deferred); the cohesion term has no 1/h, so it is
+    # compensated with an h folded into the per-i coefficient here.
+    coh_h = params.support_length if lane_acc else 1.0
+    out = {
         "rho_i": rho_i[:, None],
         "p_rho2_i": irow(_PRHO2)[:, None],
         "coh_i": (
-            -(params.surface_tension * (1.0 / jnp.maximum(irow(_M), 1e-30)))
+            -(coh_h * params.surface_tension
+              * (1.0 / jnp.maximum(irow(_M), 1e-30)))
         )[:, None],
         "nu_b_i": (
             params.boundary_sigma * h * params.c_s / (2.0 * rho_i)
         )[:, None],
         "vi": [irow(_V + a) for a in range(dim)],
-        "acc0": tuple(
+    }
+    if lane_acc:
+        out["acc0"] = tuple(
+            jnp.zeros(shape, jnp.float32) for _ in range(dim)
+        )
+        out["bias"] = tuple(float(params.gravity[a]) for a in range(dim))
+    else:
+        out["acc0"] = tuple(
             jnp.full((block,), float(params.gravity[a]), jnp.float32)
             for a in range(dim)
-        ),
-    }
+        )
+    return out
 
 
 def _sweep_kernel(
@@ -375,8 +422,12 @@ def _sweep_kernel(
     blk = pl.program_id(0)
     mrow = jax.lax.rem(blk, 8)
 
-    ivals = _ivals_acc0(mode, dim, block, k_sig, params, lambda r: ipack_ref[r, :])
+    lane_acc = mode not in ("probe", "probe_noloop")
+    ivals = _ivals_acc0(mode, dim, block, k_sig, params,
+                        lambda r: ipack_ref[r, :],
+                        lane_acc=lane_acc, tile=tile)
     acc0 = ivals.pop("acc0")
+    bias = ivals.pop("bias", None)
     vi = ivals.get("vi")
 
     def dma(slot, row):
@@ -436,6 +487,16 @@ def _sweep_kernel(
 
         acc = jax.lax.fori_loop(0, pl.cdiv(wl, tile), tile_body, acc)
 
+    if lane_acc:
+        # one (B, T) -> (B,) lane reduction per accumulator per BLOCK
+        # (deferred from per-tile), plus the deferred k_sig scale and the
+        # per-axis bias (gravity) that cannot ride in a lane-shaped acc
+        fin = _fin_scale(mode, k_sig, h)
+        acc = tuple(
+            jnp.sum(a, axis=1) * fin
+            + (bias[c] if bias is not None else 0.0)
+            for c, a in enumerate(acc)
+        )
     for c, col in enumerate(acc):
         out_ref[:, c] = col
     for c in range(len(acc), out_ref.shape[1]):
@@ -770,8 +831,11 @@ def _seg_sweep_kernel(
         ci.append(rem // int(s))
         rem = jax.lax.rem(rem, jnp.int32(int(s)))
 
-    ivals = _ivals_acc0(mode, dim, block, k_sig, params, irow)
+    lane_acc = (not mxu) and mode not in ("probe", "probe_noloop")
+    ivals = _ivals_acc0(mode, dim, block, k_sig, params, irow,
+                        lane_acc=lane_acc, tile=tile)
     acc0 = ivals.pop("acc0")
+    bias = ivals.pop("bias", None)
     vi = ivals.get("vi")
 
     # per-row id bounds + window bases into scratch, so the flat loop can
@@ -852,6 +916,16 @@ def _seg_sweep_kernel(
         acc = (acc0[0] + jbuf[slot, 0, _X, 0:128],) + acc0[1:]
     else:
         acc = jax.lax.fori_loop(0, ntot, tile_body, acc0)
+    if lane_acc:
+        # one (B, T) -> (B,) lane reduction per accumulator per BLOCK
+        # (deferred from per-tile), plus the deferred k_sig scale and the
+        # per-axis bias (gravity) that cannot ride in a lane-shaped acc
+        fin = _fin_scale(mode, k_sig, h)
+        acc = tuple(
+            jnp.sum(a, axis=1) * fin
+            + (bias[c] if bias is not None else 0.0)
+            for c, a in enumerate(acc)
+        )
 
     # COMPACT output: this block's out tile is compact rows
     # [iblk*block, +block); only the authoritative lanes [own_lo, own_hi)
