@@ -52,7 +52,11 @@ class GridSpec:
 
     @property
     def num_cells(self) -> int:
-        return int(np.prod(self.res))
+        """Flat id-space size (one past the max real id; also the inactive
+        sentinel).  With the padded strides this exceeds prod(res) by the
+        per-axis gap rows — every use in the package treats it as id-space
+        size, not a physical cell count."""
+        return int(self.res[0] * self.strides[0])
 
     @property
     def num_rows(self) -> int:
@@ -61,10 +65,21 @@ class GridSpec:
 
     @property
     def strides(self) -> tuple[int, ...]:
-        """Row-major strides, last axis fastest."""
+        """Row-major strides, last axis fastest — with each INNER non-z
+        axis padded by one gap row (stride uses res+1).  The gap makes
+        out-of-grid stencil offsets alias only EMPTY id space: a y
+        under/overflow (cy-1 = -1 / cy+1 = ry) lands in a negative id or
+        the gap row instead of wrapping into the neighboring x-column's
+        real ids.  That lets the sweep kernels test membership with the
+        separable per-pair form  (id_j - o_off(row)) in [lo_i, hi_i]
+        without any per-(i, row) validity mask; axis 0 needs no pad (its
+        overflow has no higher digit to wrap into), so 2D strides are
+        unpadded.  Sort order and window contiguity are unchanged (the
+        padded id is monotone in (cx, cy, z))."""
         s = [1] * self.dim
         for i in range(self.dim - 2, -1, -1):
-            s[i] = s[i + 1] * self.res[i + 1]
+            pad = 1 if (i + 1) <= self.dim - 2 else 0
+            s[i] = s[i + 1] * (self.res[i + 1] + pad)
         return tuple(s)
 
 

@@ -467,7 +467,9 @@ def _sweep_kernel(
         c_hi = jnp.where(valid_row, base + z_hi, 0.0)[:, None]
 
         def tile_body(t, acc_in, slot=slot, ws=ws, c_lo=c_lo, c_hi=c_hi):
-            jrow = lambda r: jbuf[slot, r, pl.ds(t * tile, tile)]  # (T,)
+            # one dynamic VMEM read for the whole slab, static row slices
+            jslab_all = jbuf[slot, :, pl.ds(t * tile, tile)]  # (16, T)
+            jrow = lambda r: jslab_all[r]  # (T,)
             if mode == "probe":
                 # diagnostic: DMA + loop + one touch per lane (fixed costs)
                 return (acc_in[0] + jnp.sum(jrow(_X)),) + acc_in[1:]
@@ -752,7 +754,7 @@ def _seg_sweep_kernel(
     out_ref,        # (B, 8) VMEM
     jbuf,           # (2, rows, FR, W) VMEM scratch — window double buffer
     sems,           # (2, rows) DMA semaphores
-    clh,            # (2*rows, B) f32 VMEM scratch — per-row c_lo / c_hi
+    cbuf,           # (FR, rows*W) VMEM scratch — compacted window stream
     *,
     mode: str,
     spec: GridSpec,
@@ -774,18 +776,25 @@ def _seg_sweep_kernel(
     because reduce_v multiplies by dx, bitwise 0 for i == j, with coef
     kept finite by the rsqrt clamp).
 
-    Loop structure (round 3): ONE fori_loop per block over ALL (stencil
-    row, tile) pairs instead of one loop per stencil row — 9 loop
-    instances/block measured ~6 ms of pure setup overhead per sweep at
-    195k.  Per iteration a scalar select chain over the preamble's
-    cumulative tile counts recovers (row, tile); the scalar core runs it
-    concurrently with the vector pair math.  The per-row id bounds live
-    in VMEM/SMEM scratch so a traced row index can select them.
+    Loop structure (round 3, v3 — concat-compaction): after the window
+    DMAs land, a per-block COMPACTION pass copies each row's occupied
+    128-lane chunks back-to-back into ``cbuf`` (one dense stream), and
+    rewrites each chunk's id lane as  id - o_off(row)  where
+    o_off = sum_a offset_a * stride_a  is the i-independent part of the
+    row's cell range.  The math loop then runs over ceil(nch*128/tile)
+    DENSE tiles with NO per-row logic at all: membership is the separable
+    test  (id_j - o_off) in [lo_i, hi_i]  with per-i bounds hoisted to
+    the preamble (lo_i = id_i - min(z,1), hi_i = id_i + min(rz-1-z, 1)).
+    Separability at grid edges is exact because GridSpec.strides pads
+    each inner non-z axis by one gap row, so out-of-grid offsets alias
+    only EMPTY id space (see GridSpec.strides).  Versus the per-row tile
+    loop this cuts the processed lanes from the per-row tile-rounded sum
+    (~4255/i at 195k mid-collapse) to the chunk-rounded sum (~2900/i) —
+    the sweep is vector-throughput-bound, so lanes are time.
 
     Window data moves by MANUAL double-buffered DMA, one block ahead:
     while block k computes from slot k%2, block k+1's ``rows`` window
-    fetches stream into the other slot.  (The former per-row BlockSpec
-    windows cannot be indexed by a traced row inside the flat loop.)
+    fetches stream into the other slot.
 
     Overlap/overhang i-lanes (neighboring anchors' particles at the block's
     edges) compute garbage that the caller's back map discards."""
@@ -823,13 +832,10 @@ def _seg_sweep_kernel(
 
     irow = lambda rr: ipack_ref[rr, :]  # (B,)
     xi = [irow(_X + a) for a in range(dim)]
-    # sort-time cell coords decoded from the packed id row (i32-exact:
-    # num_cells < 2^24 is enforced at bind)
-    rem = irow(_ID).astype(jnp.int32)
-    ci = []
-    for s in strides:
-        ci.append(rem // int(s))
-        rem = jax.lax.rem(rem, jnp.int32(int(s)))
+    # z (fastest-axis cell coord) decoded from the packed id row
+    # (i32-exact: num_cells < 2^24 is enforced at bind)
+    zi = jax.lax.rem(irow(_ID).astype(jnp.int32), jnp.int32(int(strides[-2]))
+                     ) if dim > 1 else irow(_ID).astype(jnp.int32)
 
     lane_acc = (not mxu) and mode not in ("probe", "probe_noloop")
     ivals = _ivals_acc0(mode, dim, block, k_sig, params, irow,
@@ -838,77 +844,83 @@ def _seg_sweep_kernel(
     bias = ivals.pop("bias", None)
     vi = ivals.get("vi")
 
-    # per-row id bounds + window bases into scratch, so the flat loop can
-    # select them by a traced row index
-    for row in range(rows):
-        o = offsets[row]
-        valid_row = None
-        base = jnp.zeros((block,), jnp.int32)
-        for a in range(dim - 1):
-            nb = ci[a] + int(o[a])
-            va = (nb >= 0) & (nb < int(res[a]))
-            valid_row = va if valid_row is None else (valid_row & va)
-            base = base + jnp.clip(nb, 0, int(res[a] - 1)) * int(strides[a])
-        z = ci[dim - 1]
-        z_lo = jnp.maximum(z - 1, 0)
-        z_hi = jnp.minimum(z + 1, int(res[-1]) - 1)
-        if valid_row is None:
-            valid_row = jnp.ones((block,), jnp.bool_)
-        clh[row, :] = jnp.where(valid_row, base + z_lo, 1).astype(jnp.float32)
-        clh[rows + row, :] = jnp.where(
-            valid_row, base + z_hi, 0
-        ).astype(jnp.float32)
+    # separable per-i membership bounds (see docstring): the row-offset
+    # part of the cell range is folded into the j ids at compaction time,
+    # so each i only needs its own z-clamped [lo, hi] — f32-exact
+    idf = irow(_ID)
+    zf = zi.astype(jnp.float32)
+    res_z = float(int(res[-1]))
+    lo_i = (idf - jnp.minimum(zf, 1.0))[:, None]
+    hi_i = (idf + jnp.minimum(res_z - 1.0 - zf, 1.0))[:, None]
+    # i-independent row offsets o . strides[:-1] (static constants)
+    o_offs = [
+        float(np.dot(o, strides[: dim - 1])) if dim > 1 else 0.0
+        for o in offsets
+    ]
 
     for r in range(rows):
         dma(slot, r, blk).wait()
 
-    # cumulative tile counts over the rows (traced scalars): row r covers
-    # flat positions [cum[r], cum[r+1])
-    cum = [jnp.int32(0)]
+    # ---- compaction: copy occupied 128-chunks back-to-back into cbuf,
+    # shifting each chunk's id lane by its row's o_off ----
+    cumc = [jnp.int32(0)]
     for r in range(rows):
         wl_r = meta_ref[mrow, 2 * rows + r]
-        cum.append(cum[-1] + pl.cdiv(wl_r, tile))
-    ntot = cum[rows]
+        cumc.append(cumc[-1] + pl.cdiv(wl_r, _LANE))
+    nch = cumc[rows]
+    # sentinel-fill the id lane so tile-rounding tail lanes fail the test
+    cbuf[_ID, :] = jnp.full((cbuf.shape[1],), -3e9, jnp.float32)
 
-    def tile_body(kk, acc_in):
+    def ch_body(k, carry):
         r = jnp.int32(0)
         base = jnp.int32(0)
-        for j in range(1, rows):  # scalar select chain (runs on the
-            cj = kk >= cum[j]     # scalar core, overlapped with the VPU)
+        off = jnp.float32(o_offs[0])
+        for j in range(1, rows):  # scalar select chain
+            cj = k >= cumc[j]
             r = jnp.where(cj, j, r)
-            base = jnp.where(cj, cum[j], base)
-        t = kk - base
-        jrow = lambda rr: jbuf[slot, r, rr, pl.ds(t * tile, tile)]  # (T,)
+            base = jnp.where(cj, cumc[j], base)
+            off = jnp.where(cj, jnp.float32(o_offs[j]), off)
+        j128 = k - base
+        chunk = jbuf[slot, r, :, pl.ds(j128 * _LANE, _LANE)]  # (FR, 128)
+        cbuf[:, pl.ds(k * _LANE, _LANE)] = chunk
+        cbuf[_ID, pl.ds(k * _LANE, _LANE)] = chunk[_ID] - off
+        return carry
+
+    jax.lax.fori_loop(0, nch, ch_body, jnp.int32(0))
+    ntot = pl.cdiv(nch, tile // _LANE)
+
+    def tile_body(t, acc_in):
+        jslab_all = cbuf[:, pl.ds(t * tile, tile)]  # (FR, T), one read
+        jrow = lambda rr: jslab_all[rr]  # (T,) static slice
         if mode == "probe":
-            # diagnostic: fetch + loop + one vector touch — measures the
-            # sweep's fixed costs without the pair math
-            return (acc_in[0] + jbuf[slot, r, _X, pl.ds(t * tile, 128)],
-                    ) + acc_in[1:]
+            # diagnostic: fetch + compaction + loop + one vector touch —
+            # measures the sweep's fixed costs without the pair math
+            return (acc_in[0] + jslab_all[_X, 0:128],) + acc_in[1:]
         idw = jrow(_ID)[None, :]
 
         if mxu:
-            jslab = lambda r0, nr: jbuf[slot, r, r0:r0 + nr,
-                                        pl.ds(t * tile, tile)]
+            jslab = lambda r0, nr: jslab_all[r0:r0 + nr]
             geom = _mxu_geom(dim, xi, vi, jslab)
         else:
             geom = _vpu_geom(dim, xi, vi, jrow)
-        # Membership is the id-range test ALONE: it assigns every j to
-        # exactly ONE stencil offset per i (cell ranges of different
-        # offsets are disjoint cells), so no pair double-counts even
-        # when a multi-row block's adjacent-offset windows overlap.
-        # Window bounds are subsumed by it — the window ends ARE the CSR
-        # bounds of the block-level id range, quantisation-spill/overrun
-        # lanes hold real particles whose ids fall outside [c_lo, c_hi],
-        # and zero-padding lanes carry zero mass/material flags so every
-        # mode's contribution vanishes there.  The r2 < h^2 cutoff is
-        # exact in the spline clamps (W and dW/dq are exactly 0 for
-        # q >= 1).  No self-pair test in ANY mode: density/bvol fold the
-        # self W(0) term into the sweep, and the gradient modes' self
-        # pair contributes exactly zero (reduce_v multiplies by dx,
-        # bitwise 0 for i == j; coef stays finite via the rsqrt clamp).
-        c_lo = clh[r, :][:, None]
-        c_hi = clh[rows + r, :][:, None]
-        valid = (idw >= c_lo) & (idw <= c_hi)
+        # Membership is the shifted id-range test ALONE: it assigns every
+        # j to exactly ONE stencil offset per i (cell ranges of different
+        # offsets are disjoint cells — including at grid edges, thanks to
+        # the gap-padded strides), so no pair double-counts even when a
+        # multi-row block's adjacent-offset windows overlap or a j was
+        # copied into several segments.  Window bounds are subsumed by
+        # it — the window ends ARE the CSR bounds of the block-level id
+        # range, quantisation-spill/overrun lanes hold real particles
+        # whose shifted ids fall outside [lo_i, hi_i], zero-padding lanes
+        # carry zero mass/material flags so every mode's contribution
+        # vanishes there, and tile-rounding tail lanes carry the -3e9
+        # sentinel id.  The r2 < h^2 cutoff is exact in the spline clamps
+        # (W and dW/dq are exactly 0 for q >= 1).  No self-pair test in
+        # ANY mode: density/bvol fold the self W(0) term into the sweep,
+        # and the gradient modes' self pair contributes exactly zero
+        # (reduce_v multiplies by dx, bitwise 0 for i == j; coef stays
+        # finite via the rsqrt clamp).
+        valid = (idw >= lo_i) & (idw <= hi_i)
         return _tile_math(mode, dim, h, k_sig, params, fast_math,
                           ivals, jrow, geom, valid, acc_in)
 
@@ -999,7 +1011,7 @@ def _run_sweep_seg(pack, meta: "SegMeta", mode, spec, params, block, window,
             scratch_shapes=[
                 pltpu.VMEM((2, rows, f_rows, w_fetch), jnp.float32),
                 pltpu.SemaphoreType.DMA((2, rows)),
-                pltpu.VMEM((2 * rows, block), jnp.float32),
+                pltpu.VMEM((f_rows, rows * w_fetch), jnp.float32),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct(
