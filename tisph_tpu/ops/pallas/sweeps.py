@@ -861,12 +861,18 @@ def _seg_sweep_kernel(
     for r in range(rows):
         dma(slot, r, blk).wait()
 
-    # ---- compaction: copy occupied 128-chunks back-to-back into cbuf,
-    # shifting each chunk's id lane by its row's o_off ----
+    # ---- compaction: copy each row's occupied TRUE range [delta, len)
+    # as back-to-back 128-chunks into cbuf (the unaligned read start
+    # skips the floor128 overhang entirely), shifting each chunk's id
+    # lane by its row's o_off ----
     cumc = [jnp.int32(0)]
+    deltas, tlens = [], []
     for r in range(rows):
+        d_r = meta_ref[mrow, rows + r]
         wl_r = meta_ref[mrow, 2 * rows + r]
-        cumc.append(cumc[-1] + pl.cdiv(wl_r, _LANE))
+        deltas.append(d_r)
+        tlens.append(jnp.maximum(wl_r - d_r, 0))
+        cumc.append(cumc[-1] + pl.cdiv(tlens[-1], _LANE))
     nch = cumc[rows]
     # sentinel-fill the id lane so tile-rounding tail lanes fail the test
     cbuf[_ID, :] = jnp.full((cbuf.shape[1],), -3e9, jnp.float32)
@@ -875,13 +881,21 @@ def _seg_sweep_kernel(
         r = jnp.int32(0)
         base = jnp.int32(0)
         off = jnp.float32(o_offs[0])
+        delta = deltas[0]
         for j in range(1, rows):  # scalar select chain
             cj = k >= cumc[j]
             r = jnp.where(cj, j, r)
             base = jnp.where(cj, cumc[j], base)
             off = jnp.where(cj, jnp.float32(o_offs[j]), off)
+            delta = jnp.where(cj, deltas[j], delta)
         j128 = k - base
-        chunk = jbuf[slot, r, :, pl.ds(j128 * _LANE, _LANE)]  # (FR, 128)
+        # Mosaic requires 128-aligned lane loads; to start the copy at
+        # the TRUE window start (skipping the floor128 overhang) read the
+        # aligned double-chunk and dynamic-rotate delta to lane 0.  The
+        # fetch is padded +256 lanes so the last double-chunk stays
+        # inside DMA'd (real or zero-pad) data.
+        wide = jbuf[slot, r, :, pl.ds(j128 * _LANE, 2 * _LANE)]
+        chunk = pltpu.roll(wide, shift=-delta, axis=1)[:, :_LANE]
         cbuf[:, pl.ds(k * _LANE, _LANE)] = chunk
         cbuf[_ID, pl.ds(k * _LANE, _LANE)] = chunk[_ID] - off
         return carry
@@ -978,7 +992,12 @@ def _run_sweep_seg(pack, meta: "SegMeta", mode, spec, params, block, window,
     # tile's dynamic slice must not read past the window plane.
     w_eff = min(window, n)
     w_fetch = -(-w_eff // tile) * tile
-    padded = -(-n // _LANE) * _LANE + w_fetch
+    # +256: the compaction's rolled double-chunk reads (aligned start
+    # k*128, width 256, rotated by delta in [0, 128)) may overrun the
+    # window end by up to two chunks — the extra fetched lanes are real
+    # pack data or zero padding, never uninitialised VMEM
+    w_dma = w_fetch + 2 * _LANE
+    padded = -(-n // _LANE) * _LANE + w_dma
     pack_j = jnp.pad(pack, ((0, 0), (0, padded - n)))
     kern = functools.partial(
         _seg_sweep_kernel,
@@ -1009,7 +1028,7 @@ def _run_sweep_seg(pack, meta: "SegMeta", mode, spec, params, block, window,
                                    lambda k, iblk, wblk: (iblk[k], 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((2, rows, f_rows, w_fetch), jnp.float32),
+                pltpu.VMEM((2, rows, f_rows, w_dma), jnp.float32),
                 pltpu.SemaphoreType.DMA((2, rows)),
                 pltpu.VMEM((f_rows, rows * w_fetch), jnp.float32),
             ],
