@@ -861,47 +861,78 @@ def _seg_sweep_kernel(
     for r in range(rows):
         dma(slot, r, blk).wait()
 
-    # ---- compaction: copy each row's occupied TRUE range [delta, len)
-    # as back-to-back 128-chunks into cbuf (the unaligned read start
-    # skips the floor128 overhang entirely), shifting each chunk's id
-    # lane by its row's o_off ----
-    cumc = [jnp.int32(0)]
-    deltas, tlens = [], []
+    # ---- compaction: stream each row's occupied TRUE range [delta, len)
+    # into cbuf back-to-back with NO rounding at all — each source chunk
+    # is rotated so its true start lands at the row's running dest
+    # position and merged into the two dest chunks it straddles.  Junk
+    # lanes that survive anywhere (row-tail overrun, never-written tail)
+    # are INERT: beyond-window lanes hold real particles whose ids exceed
+    # the block-level CSR end, so their shifted id exceeds every hi_i;
+    # zero-pad lanes carry zero mass/material; unwritten lanes keep the
+    # sentinel id. ----
+    cumc = [jnp.int32(0)]   # source 128-chunk cumsum (loop bound)
+    cumt = [jnp.int32(0)]   # true-lane cumsum (dest positions)
+    deltas = []
     for r in range(rows):
         d_r = meta_ref[mrow, rows + r]
         wl_r = meta_ref[mrow, 2 * rows + r]
         deltas.append(d_r)
-        tlens.append(jnp.maximum(wl_r - d_r, 0))
-        cumc.append(cumc[-1] + pl.cdiv(tlens[-1], _LANE))
+        t_r = jnp.maximum(wl_r - d_r, 0)
+        cumc.append(cumc[-1] + pl.cdiv(t_r, _LANE))
+        cumt.append(cumt[-1] + t_r)
     nch = cumc[rows]
+    nlanes = cumt[rows]
     # sentinel-fill the id lane so tile-rounding tail lanes fail the test
     cbuf[_ID, :] = jnp.full((cbuf.shape[1],), -3e9, jnp.float32)
+    # Tail lanes in [nlanes + last-row overrun, ceil_tile(nlanes)) are
+    # never written by the chunk loop, and the sentinel id alone is NOT
+    # enough to neutralise them: reduce_v multiplies the where-masked coef
+    # by dx, and scratch garbage can be non-finite (0 * inf = NaN poisons
+    # the whole block's accumulators).  Pre-fill the possible tail region
+    # [floor128(nlanes), +tile+128) with FINITE zeros (sentinel in the id
+    # row); the chunk loop then overwrites the real-data prefix.
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (cbuf.shape[0], _LANE), 0)
+    fill = jnp.where(rowi == _ID, -3e9, 0.0)
+    tail0 = nlanes - jax.lax.rem(nlanes, jnp.int32(_LANE))
+    for c in range(tile // _LANE + 1):
+        cbuf[:, pl.ds(tail0 + c * _LANE, _LANE)] = fill
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
 
     def ch_body(k, carry):
         r = jnp.int32(0)
         base = jnp.int32(0)
         off = jnp.float32(o_offs[0])
         delta = deltas[0]
+        cum = jnp.int32(0)
         for j in range(1, rows):  # scalar select chain
             cj = k >= cumc[j]
             r = jnp.where(cj, j, r)
             base = jnp.where(cj, cumc[j], base)
             off = jnp.where(cj, jnp.float32(o_offs[j]), off)
             delta = jnp.where(cj, deltas[j], delta)
+            cum = jnp.where(cj, cumt[j], cum)
         j128 = k - base
-        # Mosaic requires 128-aligned lane loads; to start the copy at
-        # the TRUE window start (skipping the floor128 overhang) read the
-        # aligned double-chunk and dynamic-rotate delta to lane 0.  The
-        # fetch is padded +256 lanes so the last double-chunk stays
-        # inside DMA'd (real or zero-pad) data.
+        m = jax.lax.rem(cum, jnp.int32(_LANE))  # row's dest misalignment
+        # Mosaic requires 128-aligned lane loads: read the aligned
+        # double-chunk and rotate so source lane (j128*128 + delta + l)
+        # lands at rotated position m + l.  The fetch is padded +256
+        # lanes so the last double-chunk stays inside DMA'd data.
         wide = jbuf[slot, r, :, pl.ds(j128 * _LANE, 2 * _LANE)]
-        chunk = pltpu.roll(wide, shift=-delta, axis=1)[:, :_LANE]
-        cbuf[:, pl.ds(k * _LANE, _LANE)] = chunk
-        cbuf[_ID, pl.ds(k * _LANE, _LANE)] = chunk[_ID] - off
+        rw = pltpu.roll(wide, shift=m - delta, axis=1)
+        rw = rw.at[_ID].set(rw[_ID] - off)
+        dest = (cum - m) + j128 * _LANE  # 128-aligned dest chunk base
+        d1 = cbuf[:, pl.ds(dest, _LANE)]
+        cbuf[:, pl.ds(dest, _LANE)] = jnp.where(
+            lane128 >= m, rw[:, :_LANE], d1
+        )
+        d2 = cbuf[:, pl.ds(dest + _LANE, _LANE)]
+        cbuf[:, pl.ds(dest + _LANE, _LANE)] = jnp.where(
+            lane128 < m, rw[:, _LANE:], d2
+        )
         return carry
 
     jax.lax.fori_loop(0, nch, ch_body, jnp.int32(0))
-    ntot = pl.cdiv(nch, tile // _LANE)
+    ntot = pl.cdiv(nlanes, tile)
 
     def tile_body(t, acc_in):
         jslab_all = cbuf[:, pl.ds(t * tile, tile)]  # (FR, T), one read
@@ -1030,7 +1061,16 @@ def _run_sweep_seg(pack, meta: "SegMeta", mode, spec, params, block, window,
             scratch_shapes=[
                 pltpu.VMEM((2, rows, f_rows, w_dma), jnp.float32),
                 pltpu.SemaphoreType.DMA((2, rows)),
-                pltpu.VMEM((f_rows, rows * w_fetch), jnp.float32),
+                # Write-only slack: the streaming compaction's masked
+                # double-chunk writes extend up to 256 lanes past a row's
+                # true end, and the finite tail pre-fill covers
+                # [floor128(nlanes), +tile+128); near-full windows can
+                # push either past rows*w_fetch.  The tile loop never
+                # reads past ceil_tile(nlanes) <= rows*w_fetch.
+                pltpu.VMEM(
+                    (f_rows, rows * w_fetch + max(2 * _LANE, tile + _LANE)),
+                    jnp.float32,
+                ),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct(
