@@ -51,6 +51,11 @@ def main() -> int:
                     help="live matplotlib window updated as frames complete "
                          "(the reference's ti.GUI loop, main.py:16-24; falls "
                          "back to headless Agg snapshots without a display)")
+    ap.add_argument("--orbit", action="store_true",
+                    help="3D scenes: interactive orbit-camera viewer (the "
+                         "reference's GGUI window, main_3d.py:8-46 — "
+                         "left-drag orbit, right-drag pan, scroll dolly, "
+                         "wasd/qe move, r reset); implies --view")
     ap.add_argument("--view-every", type=int, default=1,
                     help="with --view: redraw every N frames")
     ap.add_argument("--gif", default=None,
@@ -120,7 +125,13 @@ def main() -> int:
         exporter = FrameExporter(args.out, fmt=args.format, scene=scene)
 
     viewer = None
-    if args.view:
+    if args.orbit and scene.dim == 3:
+        from tisph_tpu.render.orbit import OrbitViewer
+        viewer = OrbitViewer(scene, interactive=True)
+    elif args.view or args.orbit:
+        if args.orbit:
+            print("warning: --orbit is 3D-only; using the flat viewer",
+                  file=sys.stderr)
         from tisph_tpu.render.viewer import Viewer
         viewer = Viewer(scene, interactive=True)
 

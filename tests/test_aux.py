@@ -284,3 +284,103 @@ def test_domain_wireframe():
     assert sorted(np.unique(np.round(lengths, 5)).tolist()) == [2.0, 3.0, 5.0]
     pts2, edges2 = domain_wireframe([0, 0], [5, 3])
     assert pts2.shape == (4, 2) and edges2.shape == (4, 2)
+
+
+class TestOrbitViewer:
+    """First-party orbit camera + projection (render/orbit.py — the
+    reference GGUI workflow, main_3d.py:8-46), tested headless."""
+
+    def _scene3d(self):
+        import tisph_tpu as tt
+        return tt.scene_from_dict({
+            "configuration": {
+                "dim": 3, "domainStart": [0, 0, 0], "domainEnd": [2, 1, 1],
+                "particleRadius": 0.05, "density0": 1000,
+                "gravitation": [0, -9.81, 0], "c_s": 50.0,
+            },
+            "fluidBlocks": [{"start": [0.1, 0.1, 0.1], "end": [0.5, 0.5, 0.5],
+                             "velocity": [0, 0, 0], "density": 1000.0,
+                             "color": [50, 100, 200]}],
+            "rigidBodies": [],
+        })
+
+    def test_from_lookat_roundtrip(self):
+        from tisph_tpu.render.orbit import OrbitCamera
+
+        cam = OrbitCamera.from_lookat((5.5, 2.5, 4.0), (-1.0, 0.0, 0.0))
+        np.testing.assert_allclose(cam.position, [5.5, 2.5, 4.0], atol=1e-9)
+        np.testing.assert_allclose(cam.target, [-1.0, 0.0, 0.0], atol=1e-9)
+
+    def test_projection_geometry(self):
+        from tisph_tpu.render.orbit import OrbitCamera
+
+        # camera on +x axis looking at origin, y-up: the target projects to
+        # the screen center, +y world is up, +z world is screen-left
+        cam = OrbitCamera(target=[0, 0, 0], distance=2.0, azimuth=0.0,
+                          elevation=0.0, fov=90.0)
+        pts = np.array([[0, 0, 0], [0, 0.5, 0], [0, 0, 0.5], [5, 0, 0]])
+        xy, z, vis = cam.project(pts)
+        np.testing.assert_allclose(xy[0], [0, 0], atol=1e-12)
+        np.testing.assert_allclose(z[0], 2.0, atol=1e-12)
+        assert xy[1][1] > 0 and abs(xy[1][0]) < 1e-12   # world up -> screen up
+        assert abs(xy[2][1]) < 1e-12 and abs(abs(xy[2][0]) - 0.25) < 1e-9
+        assert not vis[3]  # behind the camera
+        assert vis[:3].all()
+
+    def test_orbit_pan_dolly_move(self):
+        from tisph_tpu.render.orbit import OrbitCamera
+
+        cam = OrbitCamera(target=[1, 1, 1], distance=3.0, azimuth=10.0,
+                          elevation=30.0)
+        p0 = cam.position.copy()
+        cam.orbit(15.0, -10.0)
+        assert cam.azimuth == 25.0 and cam.elevation == 20.0
+        np.testing.assert_allclose(np.linalg.norm(cam.position - cam.target),
+                                   3.0, atol=1e-9)
+        cam.orbit(0.0, -200.0)
+        assert cam.elevation == -89.0  # clamped
+        cam.dolly(2.0)
+        assert cam.distance < 3.0
+        t0 = cam.target.copy()
+        assert cam.move("w") and not cam.move("x")
+        assert np.linalg.norm(cam.target - t0) > 0
+        cam.reset()
+        np.testing.assert_allclose(cam.position, p0, atol=1e-9)
+        assert cam.distance == 3.0
+
+    def test_headless_render_and_events(self, tmp_path):
+        from tisph_tpu.render.orbit import OrbitViewer
+
+        scene = self._scene3d()
+        v = OrbitViewer(scene, interactive=False, max_points=500)
+        rng = np.random.default_rng(0)
+        x = rng.uniform([0, 0, 0], [2, 1, 1], size=(2000, 3))
+        colors = rng.uniform(size=(2000, 3))
+        xy, rgba, sizes = v.render_frame(x, colors)
+        assert len(xy) <= 500 and len(xy) > 0
+        assert np.isfinite(xy).all() and np.isfinite(sizes).all()
+        assert (rgba >= 0).all() and (rgba <= 1).all()
+        # painter's order + shading: the nearest point is the brightest-shaded
+        # drag events drive the camera (handlers called directly)
+        class Ev:
+            def __init__(self, x=None, y=None, button=1, key=None, step=0):
+                self.x, self.y, self.button, self.key, self.step = (
+                    x, y, button, key, step)
+        az0 = v.camera.azimuth
+        v._last = (x, colors)
+        v._on_press(Ev(x=100, y=100))
+        v._on_motion(Ev(x=150, y=100))
+        assert v.camera.azimuth != az0
+        d0 = v.camera.distance
+        v._on_scroll(Ev(step=1))
+        assert v.camera.distance < d0
+        t0 = v.camera.target.copy()
+        v._on_press(Ev(x=100, y=100, button=3))
+        v._on_motion(Ev(x=120, y=130, button=3))
+        assert np.linalg.norm(v.camera.target - t0) > 0
+        v._on_key(Ev(key="r"))
+        assert v.camera.distance == d0 or v.camera.azimuth == az0
+        out = tmp_path / "orbit.png"
+        v.savefig(str(out))
+        assert out.stat().st_size > 1000
+        v.close()
