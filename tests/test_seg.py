@@ -28,12 +28,13 @@ from tisph_tpu.ops.pallas import sweeps as ps
 from test_pallas import _scene
 
 
-def _seg_setup(scene, cap=2048, pad_cap=8192, block=128, wcap=512, mxu=False):
+def _seg_setup(scene, cap=2048, pad_cap=8192, block=128, wcap=512, mxu=False,
+               tile=128):
     state = tt.build_state(scene)
     solver = tt.WCSPH(
         scene,
         sweep_cfg=SweepConfig(impl="pallas", block_size=block, window_cap=wcap,
-                              tile=128, interpret=_INTERPRET, layout="seg",
+                              tile=tile, interpret=_INTERPRET, layout="seg",
                               pad_capacity=pad_cap, mxu=mxu),
     )
     state = solver.bind(pad_state_capacity(state, cap))
@@ -118,10 +119,15 @@ def test_seg_density_matches_bruteforce(dim, mxu):
     np.testing.assert_allclose(rho_p[fluid], rho_brute[fluid], rtol=2e-5)
 
 
-@pytest.mark.parametrize("mxu", [False, True])
-def test_seg_force_matches_blocked(mxu):
+@pytest.mark.parametrize("mxu,tile", [(False, 128), (True, 128), (False, 256)])
+def test_seg_force_matches_blocked(mxu, tile):
+    """tile=256 also covers the compacted stream's tile-rounding tail
+    region (lanes past the last written chunk must stay inert — the
+    finite-zero pre-fill in _seg_sweep_kernel; a non-finite lane there
+    would NaN the whole block through reduce_v's coef * dx)."""
     scene = _scene()
-    solver, state_s, ids, plan, meta, pack = _seg_setup(scene, mxu=mxu)
+    solver, state_s, ids, plan, meta, pack = _seg_setup(scene, mxu=mxu,
+                                                        tile=tile)
     spec, params, scfg = solver.spec, solver.params, solver.sweep_cfg
 
     scfg_b = SweepConfig(impl="blocked", block_size=128, window_cap=1024)
