@@ -46,6 +46,11 @@ def main():
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--settle", type=int, default=10,
                     help="steps to run before measuring")
+    ap.add_argument("--platform", choices=["cpu", "auto"], default="cpu",
+                    help="cpu (default): force the virtual host mesh WITHOUT "
+                         "initialising the real backend (probing jax.devices() "
+                         "first would hang whenever the TPU tunnel is wedged); "
+                         "auto: use real devices when >= --devices exist")
     args = ap.parse_args()
 
     flags = os.environ.get("XLA_FLAGS", "")
@@ -55,7 +60,9 @@ def main():
         ).strip()
     import jax
 
-    if len(jax.devices()) < args.devices:
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    elif len(jax.devices()) < args.devices:
         jax.config.update("jax_platforms", "cpu")
 
     import tisph_tpu as tt
