@@ -234,3 +234,50 @@ def test_amortized_resort_divergence():
     # bounded divergence: well under one particle spacing after 40 substeps
     assert np.isfinite(x2[act]).all()
     assert d.max() < 0.25 * h, f"max divergence {d.max():.5f} vs h={h}"
+
+
+def test_seg_sweeps_with_empty_stencil_rows():
+    """Two fluid slabs separated by several empty grid rows: blocks near
+    the gap have stencil rows with ZERO-length candidate windows, which
+    the streaming compaction must skip exactly (zero 128-chunks, dest
+    cursor unmoved).  Density and force vs the blocked reference."""
+    scene = tt.scene_from_dict({
+        "configuration": {
+            "dim": 3, "domainStart": [0, 0, 0], "domainEnd": [1, 1, 1],
+            "particleRadius": 0.04, "density0": 1000,
+            "gravitation": [0, -9.81, 0], "c_s": 50.0,
+        },
+        "fluidBlocks": [
+            {"start": [0.15, 0.10, 0.15], "end": [0.55, 0.22, 0.55],
+             "velocity": [0.2, -1.0, 0.5], "density": 1000.0,
+             "color": [50, 100, 200]},
+            {"start": [0.15, 0.60, 0.15], "end": [0.55, 0.72, 0.55],
+             "velocity": [-0.3, 0.4, 0.1], "density": 1000.0,
+             "color": [200, 100, 50]},
+        ],
+        "rigidBodies": [],
+    })
+    solver, state_s, ids, plan, meta, pack = _seg_setup(scene)
+    spec, params, scfg = solver.spec, solver.params, solver.sweep_cfg
+    scfg_b = SweepConfig(impl="blocked", block_size=128, window_cap=2048)
+    nd = gridops.build_neighbor_data(state_s, ids, spec, scfg_b)
+    rho_b = np.asarray(F.compute_densities(state_s, nd, spec, params, scfg_b))
+    rho_p = np.asarray(ps.density_sweep_seg(
+        pack, meta, spec, params, scfg.block_size, scfg.window_cap,
+        tile=scfg.tile, interpret=_INTERPRET,
+    ))
+    fluid = np.asarray(state_s.material) == 1
+    np.testing.assert_allclose(rho_p[fluid], rho_b[fluid], rtol=2e-5)
+
+    rho, p = F.compute_pressures(jnp.asarray(rho_b), params)
+    state2 = dataclasses.replace(state_s, density=rho, pressure=p)
+    pack2 = ps.repack_eos(pack, rho, p)
+    dv_b = np.asarray(F.compute_forces(state2, nd, spec, params, scfg_b))
+    dv_p = np.asarray(ps.force_sweep_seg(
+        pack2, meta, spec, params, scfg.block_size, scfg.window_cap,
+        tile=scfg.tile, interpret=_INTERPRET,
+    ))
+    assert np.isfinite(dv_p[fluid]).all()
+    scale = np.abs(dv_b[fluid]).max()
+    np.testing.assert_allclose(dv_p[fluid] / scale, dv_b[fluid] / scale,
+                               atol=5e-6)
