@@ -66,7 +66,14 @@ def main() -> int:
                          "every N substeps (amortized resort; N=1 is the "
                          "reference's exact per-substep cadence — see "
                          "ROADMAP.md for the measured divergence)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the JAX_PLATFORMS env var "
+                         "is ignored when a site customization preloads a "
+                         "device plugin; this sets jax.config before first "
+                         "device use)")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     if args.gif and (not args.out or args.format != "png"):
         ap.error("--gif requires --out DIR and --format png")
 
