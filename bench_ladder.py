@@ -36,6 +36,22 @@ LADDER = [
 ]
 
 
+def _apply_resort(solver) -> int:
+    """bench.py's headline cadence (resort_every=2, BENCH_RESORT overrides)
+    on the seg layout; returns the cadence actually applied."""
+    import dataclasses
+
+    resort = int(os.environ.get("BENCH_RESORT", "2"))
+    cfg = solver.sweep_cfg
+    if (
+        resort != 1 and cfg is not None and cfg.impl == "pallas"
+        and getattr(cfg, "layout", None) == "seg"
+    ):
+        solver.sweep_cfg = dataclasses.replace(cfg, resort_every=resort)
+        return resort
+    return 1
+
+
 def run_config(name: str, scene_path: str, steps: int, opts: dict) -> dict:
     scene = tt.load_scene(os.path.join(HERE, scene_path))
     state = tt.build_state(scene)
@@ -44,6 +60,7 @@ def run_config(name: str, scene_path: str, steps: int, opts: dict) -> dict:
 
         solver = WCSPHRigid(scene)
         state = solver.bind(state)
+        resort = _apply_resort(solver)
         rigid = solver.init_rigid(state)
         n = int(jax.device_get(state.num_active))
         # warmup compiles the exact dispatch shape (also settles 1 chunk)
@@ -63,9 +80,11 @@ def run_config(name: str, scene_path: str, steps: int, opts: dict) -> dict:
             "nan": int(m["nan_count"]),
             "sweep": solver.sweep_cfg.impl,
             "layout": getattr(solver.sweep_cfg, "layout", "linear"),
+            "resort": resort,
         }
     solver = tt.WCSPH(scene)
     state = solver.bind(state)
+    resort = _apply_resort(solver)
     n = int(jax.device_get(state.num_active))
 
     emitters = []
@@ -121,6 +140,7 @@ def run_config(name: str, scene_path: str, steps: int, opts: dict) -> dict:
         "particle_steps_per_sec": round(n * steps / wall, 1),
         "nan": int(m["nan_count"]),
         "sweep": solver.sweep_cfg.impl,
+        "resort": resort,
         **extra,
     }
     return res

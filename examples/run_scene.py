@@ -99,12 +99,7 @@ def main() -> int:
         state = checkpoint.load_npz(args.resume)
         print(f"resumed from {args.resume}: {int(state.num_active)} particles")
     if args.resort > 1:
-        if rigid is not None:
-            # rollout_coupled rebuilds every substep (moving boundaries)
-            print("warning: --resort has no effect on rigid scenes "
-                  "(the coupled rollout rebuilds the neighbor structure "
-                  "every substep)", file=sys.stderr)
-        elif (
+        if (
             solver.sweep_cfg is not None
             and solver.sweep_cfg.impl == "pallas"
             and solver.sweep_cfg.layout == "seg"

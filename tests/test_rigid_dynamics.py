@@ -231,3 +231,48 @@ def test_long_run_shape_preservation(tmp_path):
     # it actually rotated (a quarter-turn would already move corners far)
     moved = np.abs(np.asarray(host2.x)[sel] - np.asarray(host0.x)[sel]).max()
     assert moved > 0.01
+
+
+def test_coupled_amortized_resort_tracks_r1(tmp_path):
+    """rollout_coupled with resort_every=2: the seg structure rebuild is
+    amortized across the R-group (one _seg_build per 2 substeps), and the
+    trajectory stays within the stale-pair divergence bound of the R=1
+    cadence over a short window (the same O((2 d_moved/h)^3) argument as
+    the fluid path — WCSPHRigid._coupled_apply)."""
+    import dataclasses
+
+    from tisph_tpu.models.state import pad_state_capacity
+    from tisph_tpu.ops.neighbors import SweepConfig
+
+    scene, _, _, _ = _build(
+        tmp_path, 400.0, (0.42, 0.55, 0.42), (0.58, 0.67, 0.58),
+        fluid=[{"start": [0.1, 0.1, 0.1], "end": [0.9, 0.4, 0.9],
+                "velocity": [0, 0, 0], "density": 1000.0,
+                "color": [50, 100, 200], "spacing": "diameter"}],
+        radius=0.033,
+    )
+    cfg = SweepConfig(impl="pallas", block_size=128, window_cap=512,
+                      tile=128, interpret=True, layout="seg",
+                      pad_capacity=0)
+    outs = {}
+    for R in (1, 2):
+        solver = WCSPHRigid(
+            scene, sweep_cfg=dataclasses.replace(cfg, resort_every=R)
+        )
+        st = solver.bind(tt.build_state(scene))
+        rg = solver.init_rigid(st)
+        outs[R] = solver.rollout_coupled(st, rg, 6)
+    s1, r1 = outs[1]
+    s2, r2 = outs[2]
+    h = 0.033 * 4.0  # support_length at this radius (kh = 4r default)
+    np.testing.assert_allclose(np.asarray(r2.com), np.asarray(r1.com),
+                               atol=0.05 * h)
+
+    def key(st):
+        act = np.asarray(st.material) != -1
+        x = np.asarray(st.x)[act]
+        return x[np.lexsort((x[:, 2], x[:, 1], x[:, 0]))]
+
+    d = np.abs(key(jax.device_get(s2)) - key(jax.device_get(s1)))
+    assert d.max() < 0.2 * h, d.max()
+    assert np.isfinite(np.asarray(s2.x)).all()

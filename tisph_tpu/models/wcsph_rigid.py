@@ -72,19 +72,30 @@ class WCSPHRigid(WCSPH):
         return state, rigid
 
     def _coupled_step_seg(self, carry):
-        """Coupled step on the pallas seg fast path: all four sweeps
-        (boundary volume, density, force, fluid->boundary reaction) run as
+        state, rigid = carry
+        state, cache = self._seg_build(state)
+        return self._coupled_apply((state, rigid), cache)
+
+    def _coupled_apply(self, carry, cache):
+        """One coupled physics step against a (possibly stale) seg
+        structure, on the pallas seg fast path: all four sweeps (boundary
+        volume, density, force, fluid->boundary reaction) run as
         row-confined seg kernels; only the rigid integration (O(bodies))
         stays in plain jnp.  Matches _coupled_step_fn's blocked physics
-        (gated by tests/test_rigid_dynamics.py::test_seg_coupled_matches_blocked)."""
+        (gated by tests/test_rigid_dynamics.py::test_seg_coupled_matches_blocked).
+
+        Under ``resort_every`` amortization (rollout_coupled) the staleness
+        argument of WCSPH._seg_apply extends unchanged to the moving
+        boundary particles: the id test uses cached sort-time ids on both
+        sides, rigid-body motion is CFL-bounded like the fluid's, and the
+        boundary-volume sweep still runs per substep on CURRENT positions
+        (the bodies move, sph_basev2.py:212)."""
         import jax.numpy as jnp
 
         from tisph_tpu.ops.pallas import sweeps as ps
 
         state, rigid = carry
         spec, params, scfg = self.spec, self.params, self.sweep_cfg
-
-        state, cache = self._seg_build(state)
         plan, meta, sorted_ids = cache
         kw = dict(tile=scfg.tile, interpret=scfg.interpret,
                   fast_math=scfg.fast_math, mxu=scfg.mxu)
@@ -131,12 +142,36 @@ class WCSPHRigid(WCSPH):
         return self._coupled_jit((state, rigid))
 
     def rollout_coupled(self, state: SimState, rigid: RigidState, num_steps: int):
+        """``num_steps`` coupled steps in one jitted fori_loop.  With
+        ``resort_every = R > 1`` on the seg layout the sort/plan/meta
+        rebuild runs once per R-group and the four sweeps reuse the cached
+        structure in between (see _coupled_apply for why that is safe for
+        moving boundaries)."""
         if self.spec is None:
             state = self.bind(state)
+        cfg = self.sweep_cfg
+        R = int(getattr(cfg, "resort_every", 1) or 1) if cfg is not None else 1
+        amortize = (
+            R > 1 and cfg is not None and cfg.impl == "pallas"
+            and cfg.layout == "seg"
+        )
         if getattr(self, "_coupled_roll_jit", None) is None:
-            def _roll(carry, n):
-                return jax.lax.fori_loop(
-                    0, n, lambda _, c: self._coupled_step_fn(c), carry
-                )
+            if amortize:
+                def _roll(carry, n):
+                    def outer(i, c):
+                        st, rg = c
+                        st, cache = self._seg_build(st)
+                        k = jnp.minimum(R, n - i * R)
+                        return jax.lax.fori_loop(
+                            0, k,
+                            lambda _, c2: self._coupled_apply(c2, cache),
+                            (st, rg),
+                        )
+                    return jax.lax.fori_loop(0, -(-n // R), outer, carry)
+            else:
+                def _roll(carry, n):
+                    return jax.lax.fori_loop(
+                        0, n, lambda _, c: self._coupled_step_fn(c), carry
+                    )
             self._coupled_roll_jit = jax.jit(_roll, static_argnums=1)
         return self._coupled_roll_jit((state, rigid), num_steps)
