@@ -96,8 +96,11 @@ def main() -> int:
         state = solver.bind(state)
     if args.resume:
         from tisph_tpu import checkpoint
-        state = checkpoint.load_npz(args.resume)
-        print(f"resumed from {args.resume}: {int(state.num_active)} particles")
+        state, rigid_ck = checkpoint.load_npz(args.resume, with_rigid=True)
+        if rigid_ck is not None:
+            rigid = rigid_ck  # body momentum is not derivable from particles
+        print(f"resumed from {args.resume}: {int(state.num_active)} particles"
+              + (" + rigid body state" if rigid_ck is not None else ""))
     if args.resort > 1:
         if (
             solver.sweep_cfg is not None
@@ -180,7 +183,7 @@ def main() -> int:
         print(f"GIF written to {frames_to_gif(args.out, args.gif)}")
     if args.checkpoint:
         from tisph_tpu import checkpoint
-        checkpoint.save_npz(state, args.checkpoint)
+        checkpoint.save_npz(state, args.checkpoint, rigid=rigid)
         print(f"checkpoint written to {args.checkpoint}")
     if args.bpa:
         import numpy as np

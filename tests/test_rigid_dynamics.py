@@ -276,3 +276,36 @@ def test_coupled_amortized_resort_tracks_r1(tmp_path):
     d = np.abs(key(jax.device_get(s2)) - key(jax.device_get(s1)))
     assert d.max() < 0.2 * h, d.max()
     assert np.isfinite(np.asarray(s2.x)).all()
+
+
+def test_rigid_checkpoint_roundtrip(tmp_path):
+    """RigidState rides the npz checkpoint (body momentum is NOT derivable
+    from the particle snapshot: make_rigid_state zero-inits v_com/omega),
+    and resuming reproduces the uninterrupted trajectory exactly."""
+    from tisph_tpu import checkpoint
+
+    scene, solver, state, rigid = _build(
+        tmp_path, 400.0, (0.42, 0.55, 0.42), (0.58, 0.67, 0.58),
+        fluid=[{"start": [0.1, 0.1, 0.1], "end": [0.9, 0.4, 0.9],
+                "velocity": [0, 0, 0], "density": 1000.0,
+                "color": [50, 100, 200], "spacing": "diameter"}],
+        radius=0.04,
+    )
+    s1, r1 = solver.rollout_coupled(state, rigid, 3)
+    p = tmp_path / "ck.npz"
+    checkpoint.save_npz(s1, p, rigid=r1)
+    s2, r2 = checkpoint.load_npz(p, with_rigid=True)
+    assert r2 is not None
+    np.testing.assert_array_equal(np.asarray(r2.v_com), np.asarray(r1.v_com))
+    np.testing.assert_array_equal(np.asarray(r2.omega), np.asarray(r1.omega))
+    # resumed run == uninterrupted run (bitwise on CPU)
+    sa, ra = solver.rollout_coupled(s1, r1, 2)
+    sb, rb = solver.rollout_coupled(s2, r2, 2)
+    np.testing.assert_array_equal(np.asarray(sa.x), np.asarray(sb.x))
+    np.testing.assert_array_equal(np.asarray(ra.com), np.asarray(rb.com))
+    # plain state-only archives still load the old way
+    checkpoint.save_npz(s1, tmp_path / "plain.npz")
+    st = checkpoint.load_npz(tmp_path / "plain.npz")
+    np.testing.assert_array_equal(np.asarray(st.x), np.asarray(s1.x))
+    st2, rg2 = checkpoint.load_npz(tmp_path / "plain.npz", with_rigid=True)
+    assert rg2 is None

@@ -23,15 +23,35 @@ import numpy as np
 from tisph_tpu.models.state import SimState
 
 
-def save_npz(state: SimState, path: str | os.PathLike) -> None:
+def save_npz(state: SimState, path: str | os.PathLike, rigid=None) -> None:
+    """``rigid``: optional RigidState — dynamic-body momentum (v_com,
+    omega) is NOT derivable from the particle snapshot (make_rigid_state
+    zero-initialises it), so rigid scenes must checkpoint it alongside."""
     host = {k: np.asarray(v) for k, v in jax.device_get(dataclasses.asdict(state)).items()}
+    if rigid is not None:
+        host.update({
+            f"rigid__{k}": np.asarray(v)
+            for k, v in jax.device_get(dataclasses.asdict(rigid)).items()
+        })
     np.savez_compressed(os.fspath(path), **host)
 
 
-def load_npz(path: str | os.PathLike) -> SimState:
+def load_npz(path: str | os.PathLike, with_rigid: bool = False):
+    """Returns the SimState, or ``(SimState, RigidState | None)`` when
+    ``with_rigid`` (None if the archive carries no rigid fields)."""
     with np.load(os.fspath(path)) as z:
-        fields = {k: jnp.asarray(z[k]) for k in z.files}
-    return SimState(**fields)
+        fields = {k: jnp.asarray(z[k]) for k in z.files
+                  if not k.startswith("rigid__")}
+        rfields = {k[len("rigid__"):]: jnp.asarray(z[k]) for k in z.files
+                   if k.startswith("rigid__")}
+    state = SimState(**fields)
+    if not with_rigid:
+        return state
+    if not rfields:
+        return state, None
+    from tisph_tpu.models.rigid import RigidState
+
+    return state, RigidState(**rfields)
 
 
 def save_orbax(state: SimState, path: str | os.PathLike) -> None:
