@@ -281,3 +281,37 @@ def test_seg_sweeps_with_empty_stencil_rows():
     scale = np.abs(dv_b[fluid]).max()
     np.testing.assert_allclose(dv_p[fluid] / scale, dv_b[fluid] / scale,
                                atol=5e-6)
+
+
+def test_seg_plan_sparse_runs_cut_at_x_slab_boundaries():
+    """Sparse-row anchor runs must be cut at leading-axis (x-slab)
+    boundaries (grid.seg_plan): a multi-x sparse block's stencil targets
+    would include full dense rows of the adjacent slab (the round-2 soak's
+    window blowup).  Regression for the gap-padded strides (round 3):
+    rows per slab is strides[0] // res_z = res[dim-2] + 1, so a res-based
+    modulus misses nearly every real boundary."""
+    spec = gridops.make_grid_spec(3, [0, 0, 0], [2.0, 1.5, 1.2], 0.1)
+    res = np.asarray(spec.res)
+    strides = np.asarray(spec.strides)
+    res_z = int(res[-1])
+    assert int(strides[0]) // res_z == int(res[1]) + 1  # gap-padded
+
+    # one particle per row across several x-slabs: ALL rows sparse
+    rng = np.random.default_rng(3)
+    rows = np.arange(0, (int(strides[0]) // res_z) * 4)  # 4 slabs' rows
+    cx = rows // (int(strides[0]) // res_z)
+    cy = rows % (int(strides[0]) // res_z)
+    keep = cy < int(res[1])  # skip gap rows (no real cells there)
+    ids = (cx[keep] * strides[0] + cy[keep] * strides[1]
+           + rng.integers(0, res_z, keep.sum()) * strides[2]).astype(np.int32)
+    ids.sort()
+    n = 128 * 4
+    sorted_ids = np.full((n,), spec.num_cells, np.int32)
+    sorted_ids[: len(ids)] = ids
+    plan = gridops.seg_plan(jnp.asarray(sorted_ids), spec, 128, 64)
+    used = np.asarray(plan.seg_len) > 0
+    id_first = np.asarray(plan.id_first)[used]
+    id_last = np.asarray(plan.id_last)[used]
+    # no block's own range may span an x-slab boundary
+    np.testing.assert_array_equal(id_first // int(strides[0]),
+                                  id_last // int(strides[0]))

@@ -250,6 +250,35 @@ class SolverBase:
             self._step_jit = jax.jit(self._step_fn)
         return self._step_jit(state)
 
+    def _amortize_R(self) -> int:
+        """resort_every if the amortized seg schedule applies, else 1.
+        One definition for ALL rollouts (rollout / rollout_emit /
+        WCSPHRigid.rollout_coupled) so the gate cannot drift."""
+        cfg = self.sweep_cfg
+        R = int(getattr(cfg, "resort_every", 1) or 1) if cfg is not None else 1
+        if (
+            R > 1 and cfg is not None and cfg.impl == "pallas"
+            and cfg.layout == "seg" and hasattr(self, "_seg_build")
+        ):
+            return R
+        return 1
+
+    def _amortized_groups(self, R: int, n: int, carry, get_state, set_state,
+                          apply_body):
+        """Shared R-group schedule: fori over ceil(n/R) groups — rebuild
+        the seg structure once per group from the carry's SimState, then
+        run k = min(R, n - i*R) substeps of ``apply_body(carry, cache)``
+        against the cached structure (traced tail bound).  The single
+        definition of the group/tail arithmetic for every amortized
+        rollout variant."""
+        def outer(i, c):
+            s, cache = self._seg_build(get_state(c))
+            k = jnp.minimum(R, n - i * R)
+            return jax.lax.fori_loop(
+                0, k, lambda _, c2: apply_body(c2, cache), set_state(c, s)
+            )
+        return jax.lax.fori_loop(0, -(-n // R), outer, carry)
+
     def rollout(self, state: SimState, num_steps: int) -> SimState:
         """Run ``num_steps`` steps inside one jitted fori_loop.
 
@@ -259,22 +288,14 @@ class SolverBase:
         is safe); the reference resorts every substep."""
         if self.spec is None:
             state = self.bind(state)
-        cfg = self.sweep_cfg
-        R = int(getattr(cfg, "resort_every", 1) or 1) if cfg is not None else 1
-        amortize = (
-            R > 1 and cfg is not None and cfg.impl == "pallas"
-            and cfg.layout == "seg" and hasattr(self, "_seg_build")
-        )
+        R = self._amortize_R()
         if self._rollout_jit is None:
-            if amortize:
+            if R > 1:
                 def _roll(s: SimState, n: int) -> SimState:
-                    def outer(i, st):
-                        st, cache = self._seg_build(st)
-                        k = jnp.minimum(R, n - i * R)
-                        return jax.lax.fori_loop(
-                            0, k, lambda _, s2: self._seg_apply(s2, cache), st
-                        )
-                    return jax.lax.fori_loop(0, -(-n // R), outer, s)
+                    return self._amortized_groups(
+                        R, n, s, lambda c: c, lambda c, s2: s2,
+                        lambda c2, cache: self._seg_apply(c2, cache),
+                    )
             else:
                 def _roll(s: SimState, n: int) -> SimState:
                     return jax.lax.fori_loop(
@@ -304,12 +325,7 @@ class SolverBase:
         Returns (state, emitters)."""
         if self.spec is None:
             state = self.bind(state)
-        cfg = self.sweep_cfg
-        R = int(getattr(cfg, "resort_every", 1) or 1) if cfg is not None else 1
-        amortize = (
-            R > 1 and cfg is not None and cfg.impl == "pallas"
-            and cfg.layout == "seg" and hasattr(self, "_seg_build")
-        )
+        R = self._amortize_R()
         if self._emit_roll_jit is None:
             from tisph_tpu.geometry.emitter import maybe_emit
 
@@ -321,21 +337,16 @@ class SolverBase:
                     s, ems[i] = maybe_emit(s, es, vol0)
                 return s, tuple(ems)
 
-            if amortize:
+            if R > 1:
                 def _roll(carry, n: int):
-                    def outer(i, c):
-                        s, ems = c
-                        s, cache = self._seg_build(s)
+                    def body(c2, cache):
+                        s2, ems2 = emit_all(*c2)
+                        return (self._seg_apply(s2, cache), ems2)
 
-                        def body(_, c2):
-                            s2, ems2 = c2
-                            s2, ems2 = emit_all(s2, ems2)
-                            return (self._seg_apply(s2, cache), ems2)
-
-                        k = jnp.minimum(R, n - i * R)
-                        return jax.lax.fori_loop(0, k, body, (s, ems))
-
-                    return jax.lax.fori_loop(0, -(-n // R), outer, carry)
+                    return self._amortized_groups(
+                        R, n, carry,
+                        lambda c: c[0], lambda c, s: (s, c[1]), body,
+                    )
             else:
                 def _roll(carry, n: int):
                     def body(_, c):

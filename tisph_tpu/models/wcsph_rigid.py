@@ -149,25 +149,15 @@ class WCSPHRigid(WCSPH):
         moving boundaries)."""
         if self.spec is None:
             state = self.bind(state)
-        cfg = self.sweep_cfg
-        R = int(getattr(cfg, "resort_every", 1) or 1) if cfg is not None else 1
-        amortize = (
-            R > 1 and cfg is not None and cfg.impl == "pallas"
-            and cfg.layout == "seg"
-        )
+        R = self._amortize_R()
         if getattr(self, "_coupled_roll_jit", None) is None:
-            if amortize:
+            if R > 1:
                 def _roll(carry, n):
-                    def outer(i, c):
-                        st, rg = c
-                        st, cache = self._seg_build(st)
-                        k = jnp.minimum(R, n - i * R)
-                        return jax.lax.fori_loop(
-                            0, k,
-                            lambda _, c2: self._coupled_apply(c2, cache),
-                            (st, rg),
-                        )
-                    return jax.lax.fori_loop(0, -(-n // R), outer, carry)
+                    return self._amortized_groups(
+                        R, n, carry,
+                        lambda c: c[0], lambda c, s: (s, c[1]),
+                        lambda c2, cache: self._coupled_apply(c2, cache),
+                    )
             else:
                 def _roll(carry, n):
                     return jax.lax.fori_loop(

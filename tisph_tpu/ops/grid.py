@@ -243,7 +243,13 @@ class SegPlan(NamedTuple):
     #                        block (own range = [own_lo, own_lo + seg_len))
     id_first: jax.Array    # (block_cap,) i32 — cell id of first own particle
     id_last: jax.Array     # (block_cap,) i32 — cell id of last own particle
-    back_idx: jax.Array    # (n,) i32 — block-output slot of each compact index
+    back_idx: jax.Array    # (n,) i32 — block-output slot of each compact
+    #                        index.  DIAGNOSTIC ONLY since the compact
+    #                        own-mask kernel output (round 3): no solver
+    #                        consumes it, so XLA dead-code-eliminates it
+    #                        inside the jitted step; the plan-consistency
+    #                        test and tools/microbench_meta.py still read
+    #                        it eagerly as the block-partition oracle.
     back_valid: jax.Array  # (n,) bool — compact index is covered by a block
     need_blocks: jax.Array  # () i32 — blocks this step actually needs;
     #                         > block_cap means trailing regions lost coverage
@@ -309,9 +315,13 @@ def seg_plan(
         # a multi-x sparse block's stencil targets would include full DENSE
         # pile rows of the adjacent slab — measured in the round-2 soak as
         # window caps spiraling 1314 -> 9344.  Within one slab, sparsity is
-        # height-correlated, so same-height targets stay sparse.
-        res_row_last = int(np.asarray(spec.res)[spec.dim - 2])
-        is_anchor = is_anchor | ((r_idx % res_row_last) == 0)
+        # height-correlated, so same-height targets stay sparse.  Rows per
+        # x-slab come from the STRIDES, not res: the gap-padded id space
+        # (GridSpec.strides) gives each slab res[dim-2] + 1 rows, so a
+        # res-based modulus would cut at arbitrary mid-slab rows and miss
+        # nearly every real boundary.
+        rows_per_slab = int(np.asarray(spec.strides)[0]) // res_z
+        is_anchor = is_anchor | ((r_idx % rows_per_slab) == 0)
     # anchor row of each row: itself if anchor else the nearest anchor above
     anchor_of = jax.lax.associative_scan(
         jnp.maximum, jnp.where(is_anchor, r_idx, -1)

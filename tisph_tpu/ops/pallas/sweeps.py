@@ -573,7 +573,7 @@ def _run_sweep(pack, meta, mode, spec, params, block, window, tile, interpret,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((F_ROWS, block), lambda k: (0, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((block, out_cols), lambda k: (k, 0),
                                memory_space=pltpu.VMEM),
@@ -1048,7 +1048,7 @@ def _run_sweep_seg(pack, meta: "SegMeta", mode, spec, params, block, window,
                 pl.BlockSpec((f_rows, block),
                              lambda k, iblk, wblk: (0, iblk[k]),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             # COMPACT output: block k writes compact rows [iblk[k]*block,
             # +block) through its own-lane mask.  Equal-iblk runs are

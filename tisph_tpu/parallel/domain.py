@@ -403,7 +403,14 @@ class ShardedWCSPH(SolverBase):
         """One physics substep against the (possibly stale) cached seg
         structure: two value-only halo exchanges + the seg pallas sweeps.
         Pair-membership staleness bound: identical to the single-chip
-        WCSPH._seg_apply (sort-time id test + current-position r2)."""
+        WCSPH._seg_apply (sort-time id test + current-position r2).
+
+        The cached sorted ids ride each exchange as one extra payload row
+        (~1/9 of the halo bytes) instead of being cached in extended form:
+        on the all_gather fallback path an extended-ids cache would
+        materialise n_shards full copies of the global id array, and on
+        the ppermute path the id row shares the value rows' pipeline, so
+        the re-exchange costs no extra collective latency."""
         from tisph_tpu.ops.pallas import sweeps as ps
 
         spec, params, scfg = self.spec, self.params, self.sweep_cfg
@@ -422,9 +429,16 @@ class ShardedWCSPH(SolverBase):
                 {**f_local, "ids": ids_l}, hn, hops, shard_rows
             )
             ids_e = ext["ids"]
-            coords_l = gridops.cell_coords(f_local["x"], spec)
-            ranges = gridops.cell_target_ranges(coords_l, spec)
-            halo_flag = self._cover_flag(ids_l, ids_e, ranges, hops)
+            if mode == "density":
+                # positions are identical in both substep sweeps (advect
+                # runs after force), so the halo-reach flag and its
+                # (n, rows, 2) range build run ONCE per substep here and
+                # the force sweep reuses the result
+                coords_l = gridops.cell_coords(f_local["x"], spec)
+                ranges = gridops.cell_target_ranges(coords_l, spec)
+                halo_flag = self._cover_flag(ids_l, ids_e, ranges, hops)
+            else:
+                halo_flag = jnp.int32(0)
             pack_ext = ps.pack_state(
                 ext["x"], ext["v"], ext["density"], ext["pressure"],
                 ext["mass"], ext["volume"], ext["material"], ids_e, params,
