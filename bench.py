@@ -129,7 +129,7 @@ def main() -> int:
     # DEADLINE_EXCEEDED / INTERNAL: transient runtime hiccups.
     transient = ("UNAVAILABLE", "FAILED_PRECONDITION", "DEADLINE_EXCEEDED",
                  "INTERNAL")
-    for attempt, sleep_s in enumerate((60, 180, 300)):
+    for attempt, sleep_s in enumerate((60, 180, 300, 600, 600, 1200)):
         try:
             return _main_once(scene_path, steps)
         except Exception as e:
@@ -138,6 +138,14 @@ def main() -> int:
             print(f"transient device error ({type(e).__name__}, attempt "
                   f"{attempt + 1}); retrying in {sleep_s}s", file=sys.stderr)
             time.sleep(sleep_s)
+            try:
+                # jax caches failed-platform init errors: without this,
+                # every retry re-raises instantly instead of re-dialing
+                # the tunnel (observed during a multi-hour wedge)
+                import jax.extend.backend as _xb
+                _xb.clear_backends()
+            except Exception as e2:
+                print(f"clear_backends failed: {e2!r}", file=sys.stderr)
     return _main_once(scene_path, steps)
 
 
