@@ -309,3 +309,38 @@ def test_rigid_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(st.x), np.asarray(s1.x))
     st2, rg2 = checkpoint.load_npz(tmp_path / "plain.npz", with_rigid=True)
     assert rg2 is None
+
+
+def test_run_coupled_adaptive(tmp_path):
+    """run_coupled: SolverBase.run's adaptive-recapacity loop over the
+    (SimState, RigidState) carry — a deliberately small window cap must
+    be detected and regrown mid-run, and the run completes healthy."""
+    import dataclasses
+
+    from tisph_tpu.ops.neighbors import SweepConfig
+
+    scene, _, _, _ = _build(
+        tmp_path, 400.0, (0.42, 0.55, 0.42), (0.58, 0.67, 0.58),
+        fluid=[{"start": [0.1, 0.1, 0.1], "end": [0.9, 0.4, 0.9],
+                "velocity": [0, 0, 0], "density": 1000.0,
+                "color": [50, 100, 200], "spacing": "diameter"}],
+        radius=0.04,
+    )
+    solver = WCSPHRigid(
+        scene,
+        sweep_cfg=SweepConfig(impl="pallas", block_size=128, window_cap=128,
+                              tile=128, interpret=True, layout="seg",
+                              pad_capacity=0),
+    )
+    st = solver.bind(tt.build_state(scene))
+    rg = solver.init_rigid(st)
+    # force the cap BELOW the true need after bind's sizing so the
+    # adaptive loop must detect and regrow it
+    solver.sweep_cfg = dataclasses.replace(solver.sweep_cfg, window_cap=128)
+    for name in [k for k in vars(solver) if k.endswith("_jit")]:
+        setattr(solver, name, None)
+    cap0 = solver.sweep_cfg.window_cap
+    st, rg = solver.run_coupled(st, rg, 4, check_every=2)
+    assert solver.sweep_cfg.window_cap > cap0  # regrew mid-run
+    assert np.isfinite(np.asarray(st.x)).all()
+    assert np.isfinite(np.asarray(rg.com)).all()

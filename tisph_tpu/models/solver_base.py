@@ -370,6 +370,27 @@ class SolverBase:
         max_dispatch: int = 400,
         warn_frac: float = 0.9,
     ) -> SimState:
+        """See _run_adaptive — this is the plain-rollout instantiation."""
+        return self._run_adaptive(
+            state, num_steps, lambda c, k: self.rollout(c, k),
+            lambda c: c, lambda c, s: s,
+            check_every=check_every, grow=grow, verbose=verbose,
+            max_dispatch=max_dispatch, warn_frac=warn_frac,
+        )
+
+    def _run_adaptive(
+        self,
+        carry,
+        num_steps: int,
+        roll,
+        get_state,
+        set_state,
+        check_every: int = 400,
+        grow: float = 1.5,
+        verbose: bool = False,
+        max_dispatch: int = 400,
+        warn_frac: float = 0.9,
+    ):
         """Rollout with overflow-safe adaptive recapacity.
 
         The candidate-window capacity is measured from the INITIAL
@@ -406,7 +427,8 @@ class SolverBase:
             # bound single-dispatch duration: very long fori_loop executions
             # (> ~1 min) can trip device watchdogs on tunneled runtimes
             t0 = _time.perf_counter()
-            state = self.rollout(state, k)
+            carry = roll(carry, k)
+            state = get_state(carry)
             jax.block_until_ready(state.x)
             wall = _time.perf_counter() - t0
             cold = k not in warm  # first call per shape pays ~30-60s compile
@@ -492,12 +514,12 @@ class SolverBase:
                     pad_low_checks = 0
             if (self.sweep_cfg, self.spec) != caps_before:
                 warm.clear()  # regrow dropped the compiled rollouts
-            state = _dc.replace(
+            carry = set_state(carry, _dc.replace(
                 state,
                 occ_window=jnp.zeros((), jnp.int32),
                 occ_rowpad=jnp.zeros((), jnp.int32),
-            )
-        return state
+            ))
+        return carry
 
     def regrow(self, new_window: int | None = None, new_pad: int | None = None) -> None:
         """Re-capacitate the sweep/run window (``new_window``) and/or the

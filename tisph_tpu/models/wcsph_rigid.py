@@ -165,3 +165,17 @@ class WCSPHRigid(WCSPH):
                     )
             self._coupled_roll_jit = jax.jit(_roll, static_argnums=1)
         return self._coupled_roll_jit((state, rigid), num_steps)
+
+    def run_coupled(self, state: SimState, rigid: RigidState,
+                    num_steps: int, **kw):
+        """Long coupled runs with the same overflow-safe adaptive
+        recapacity as SolverBase.run (window/block-pad regrow + shrink
+        hysteresis + warm-wall dispatch chunking), over the
+        (SimState, RigidState) carry.  Returns (state, rigid)."""
+        if self.spec is None:
+            state = self.bind(state)
+        return self._run_adaptive(
+            (state, rigid), num_steps,
+            lambda c, k: self.rollout_coupled(c[0], c[1], k),
+            lambda c: c[0], lambda c, s: (s, c[1]), **kw
+        )
