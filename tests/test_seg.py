@@ -315,3 +315,45 @@ def test_seg_plan_sparse_runs_cut_at_x_slab_boundaries():
     # no block's own range may span an x-slab boundary
     np.testing.assert_array_equal(id_first // int(strides[0]),
                                   id_last // int(strides[0]))
+
+
+@pytest.mark.parametrize("block_cap", [64, 6])
+def test_seg_plan_back_valid_is_covered_prefix(block_cap):
+    """back_valid's O(block_cap) prefix formulation must equal the
+    per-particle block-membership oracle (via back_idx), including when a
+    too-small block_cap CLIPS coverage mid-anchor (block_cap=6)."""
+    scene = _scene(dim=3)
+    state = tt.build_state(scene)
+    solver = tt.WCSPH(scene, sweep_cfg=SweepConfig(
+        impl="pallas", block_size=128, window_cap=512, tile=128,
+        interpret=_INTERPRET, layout="seg", pad_capacity=8192))
+    state = solver.bind(pad_state_capacity(state, 2048))
+    spec = solver.spec
+    _, ids, _ = gridops.sort_state_by_cell(state, spec)
+    plan = gridops.seg_plan(ids, spec, 128, block_cap)
+    ids_np = np.asarray(ids)
+    act = ids_np < spec.num_cells
+    bv = np.asarray(plan.back_valid)
+    # oracle: particle t is covered iff its back_idx slot's block exists,
+    # agrees on position, and owns the lane
+    seg_start = np.asarray(plan.seg_start)
+    seg_len = np.asarray(plan.seg_len)
+    own_lo = np.asarray(plan.own_lo)
+    back = np.asarray(plan.back_idx)
+    n = ids_np.shape[0]
+    oracle = np.zeros((n,), bool)
+    for t in range(n):
+        if not act[t]:
+            continue
+        b, lane = back[t] // 128, back[t] % 128
+        oracle[t] = (b < block_cap and seg_len[b] > 0
+                     and seg_start[b] + lane == t
+                     and own_lo[b] <= lane < own_lo[b] + seg_len[b])
+    np.testing.assert_array_equal(bv, oracle)
+    if block_cap == 6:
+        # the clip must actually have removed coverage for this case to
+        # test anything
+        assert int(jax.device_get(plan.need_blocks)) > block_cap
+        assert not bv[act].all()
+    else:
+        assert bv[act].all()

@@ -370,24 +370,33 @@ def seg_plan(
     id_first = jnp.minimum(id_first, spec.num_cells - 1)
     id_last = jnp.minimum(id_last, spec.num_cells - 1)
 
-    # inverse map: compact index -> block-output slot via the particle's
-    # anchor row (= anchor_of[ids[t] // res_z]; sentinel tail -> invalid).
-    # The three per-anchor quantities each particle needs (aligned origin,
-    # first block, next anchor's first block) are packed into ONE per-ROW
-    # table so the (n,)-sized stage costs a single 3-column row gather
-    # instead of four scalar gathers (round-3 microbench: one 195k scalar
-    # gather alone is ~2.8 ms on the v5e; row gathers amortize it).
+    # validity: block coverage is always a PREFIX of the compact active
+    # array — anchors partition it contiguously, each anchor's blocks
+    # cover its whole [a_start, anchor_end) range, and a block_cap clip
+    # removes a SUFFIX of blocks (a partially covered boundary anchor
+    # keeps its leading particles, later anchors get nothing).  So
+    # per-particle validity needs NO (n,)-sized gather at all: one
+    # O(block_cap) reduction gives the covered prefix end.
+    covered_end = jnp.max(jnp.where(seg_len > 0, seg_start + own_hi, 0))
+    t = jnp.arange(n, dtype=jnp.int32)
+    back_valid = (t < covered_end) & (sorted_ids < spec.num_cells)
+
+    # inverse map (DIAGNOSTIC ONLY — see SegPlan.back_idx; dead under jit
+    # so the (n, 3) row gather below costs nothing in production):
+    # compact index -> block-output slot via the particle's anchor row
+    # (= anchor_of[ids[t] // res_z]; sentinel tail -> invalid).  The three
+    # per-anchor quantities are packed into ONE per-ROW table so the
+    # eager path costs a single 3-column row gather instead of four
+    # scalar gathers (round-3 microbench: one 195k scalar gather alone is
+    # ~2.8 ms on the v5e; row gathers amortize it).
     rtab = jnp.stack(
         [s0[anchor_of], blk_cum[anchor_of], blk_cum[anchor_of + 1]], axis=1
     )  # (R, 3) — gathers over num_rows only
     rtab = jnp.concatenate([rtab, jnp.asarray([[0, 0, 0]], jnp.int32)])
     row_of_t = jnp.minimum(sorted_ids // res_z, num_rows).astype(jnp.int32)
-    t = jnp.arange(n, dtype=jnp.int32)
     tt = rtab[row_of_t]  # (n, 3) row gather
     off_t = t - tt[:, 0]
     bb = tt[:, 1] + off_t // block
-    # a clipped (overflowed) anchor has blk_cum[rr+1] == blk_cum[rr]: invalid
-    back_valid = (row_of_t < num_rows) & (bb < tt[:, 2])
     back_idx = jnp.clip(bb * block + off_t % block, 0, block_cap * block - 1)
     return SegPlan(
         seg_start, seg_len, own_lo, id_first, id_last,
