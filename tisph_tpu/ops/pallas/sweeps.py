@@ -893,10 +893,13 @@ def _seg_sweep_kernel(
     # row); the chunk loop then overwrites the real-data prefix.
     rowi = jax.lax.broadcasted_iota(jnp.int32, (cbuf.shape[0], _LANE), 0)
     fill = jnp.where(rowi == _ID, -3e9, 0.0)
-    tail0 = nlanes - jax.lax.rem(nlanes, jnp.int32(_LANE))
+    tail0 = pl.multiple_of(
+        nlanes - jax.lax.rem(nlanes, jnp.int32(_LANE)), _LANE
+    )
     for c in range(tile // _LANE + 1):
         cbuf[:, pl.ds(tail0 + c * _LANE, _LANE)] = fill
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
+    rowi2 = jax.lax.broadcasted_iota(jnp.int32, (cbuf.shape[0], 2 * _LANE), 0)
 
     def ch_body(k, carry):
         r = jnp.int32(0)
@@ -919,8 +922,13 @@ def _seg_sweep_kernel(
         # lanes so the last double-chunk stays inside DMA'd data.
         wide = jbuf[slot, r, :, pl.ds(j128 * _LANE, 2 * _LANE)]
         rw = pltpu.roll(wide, shift=m - delta, axis=1)
-        rw = rw.at[_ID].set(rw[_ID] - off)
-        dest = (cum - m) + j128 * _LANE  # 128-aligned dest chunk base
+        # fold the row offset into the id lane via a row-iota select:
+        # value-level .at[].set emits a `scatter`, which Mosaic cannot
+        # lower inside the fori body (only caught on real-TPU compile)
+        rw = jnp.where(rowi2 == _ID, rw - off, rw)
+        # 128-aligned dest chunk base (m = cum mod 128, so cum - m is a
+        # multiple of 128 — Mosaic needs the hint to prove it)
+        dest = pl.multiple_of((cum - m) + j128 * _LANE, _LANE)
         d1 = cbuf[:, pl.ds(dest, _LANE)]
         cbuf[:, pl.ds(dest, _LANE)] = jnp.where(
             lane128 >= m, rw[:, :_LANE], d1
