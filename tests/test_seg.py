@@ -29,13 +29,13 @@ from test_pallas import _scene
 
 
 def _seg_setup(scene, cap=2048, pad_cap=8192, block=128, wcap=512, mxu=False,
-               tile=128):
+               tile=128, sub=1):
     state = tt.build_state(scene)
     solver = tt.WCSPH(
         scene,
         sweep_cfg=SweepConfig(impl="pallas", block_size=block, window_cap=wcap,
                               tile=tile, interpret=_INTERPRET, layout="seg",
-                              pad_capacity=pad_cap, mxu=mxu),
+                              pad_capacity=pad_cap, mxu=mxu, sub_slabs=sub),
     )
     state = solver.bind(pad_state_capacity(state, cap))
     spec, params, scfg = solver.spec, solver.params, solver.sweep_cfg
@@ -43,7 +43,7 @@ def _seg_setup(scene, cap=2048, pad_cap=8192, block=128, wcap=512, mxu=False,
     plan = gridops.seg_plan(ids, spec, scfg.block_size,
                             scfg.pad_capacity // scfg.block_size)
     meta, _ = ps.seg_block_meta(
-        plan, ids, spec, scfg.block_size, scfg.window_cap
+        plan, ids, spec, scfg.block_size, scfg.window_cap, sub=sub
     )
     pack = ps.pack_state(
         state_s.x, state_s.v, state_s.density, state_s.pressure,
@@ -117,6 +117,39 @@ def test_seg_density_matches_bruteforce(dim, mxu):
 
     fluid = np.asarray(state_s.material) == 1
     np.testing.assert_allclose(rho_p[fluid], rho_brute[fluid], rtol=2e-5)
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+@pytest.mark.parametrize("sub,block", [(2, 128), (4, 128), (2, 256)])
+def test_seg_sub_slab_matches_sub1(dim, sub, block):
+    """sub_slabs > 1 is a pure re-streaming of the same pair set: each
+    sub-slab's compacted stream holds (a superset of) the candidates of
+    ITS OWN i-lanes and the separable membership test selects the
+    identical pairs, so density and force must match the sub=1 kernel to
+    fp32 reduction-order tolerance (tile boundaries shift per stream)."""
+    scene = _scene(dim=dim)
+    _, _, _, _, meta1, pack = _seg_setup(scene, block=block)
+    solver, state_s, ids, plan, meta, _ = _seg_setup(scene, block=block,
+                                                     sub=sub)
+    spec, params, scfg = solver.spec, solver.params, solver.sweep_cfg
+
+    kw = dict(tile=scfg.tile, interpret=_INTERPRET)
+    rho1 = ps.density_sweep_seg(pack, meta1, spec, params, block,
+                                scfg.window_cap, **kw)
+    rho_s = ps.density_sweep_seg(pack, meta, spec, params, block,
+                                 scfg.window_cap, sub=sub, **kw)
+    rho, p = F.compute_pressures(rho1, params)
+    pack2 = ps.repack_eos(pack, rho, p)
+    dv1 = ps.force_sweep_seg(pack2, meta1, spec, params, block,
+                             scfg.window_cap, **kw)
+    dv_s = ps.force_sweep_seg(pack2, meta, spec, params, block,
+                              scfg.window_cap, sub=sub, **kw)
+    valid = np.asarray(plan.back_valid)
+    np.testing.assert_allclose(np.asarray(rho_s)[valid],
+                               np.asarray(rho1)[valid], rtol=1e-6)
+    scale = np.abs(np.asarray(dv1)[valid]).max()
+    np.testing.assert_allclose(np.asarray(dv_s)[valid] / scale,
+                               np.asarray(dv1)[valid] / scale, atol=2e-6)
 
 
 @pytest.mark.parametrize("mxu,tile", [(False, 128), (True, 128), (False, 256)])

@@ -27,12 +27,14 @@ def _lower_tpu(fn, *args):
     jax.jit(fn).trace(*args).lower(lowering_platforms=("tpu",))
 
 
-def _pallas_solver(scene, layout, cls=tt.WCSPH, cap=2048, **kw):
+def _pallas_solver(scene, layout, cls=tt.WCSPH, cap=2048, sub=1, block=128,
+                   **kw):
     solver = cls(
         scene,
         sweep_cfg=SweepConfig(
-            impl="pallas", block_size=128, window_cap=512, tile=128,
+            impl="pallas", block_size=block, window_cap=512, tile=128,
             interpret=False, layout=layout, pad_capacity=8192,
+            sub_slabs=sub,
         ),
         **kw,
     )
@@ -45,6 +47,15 @@ def _pallas_solver(scene, layout, cls=tt.WCSPH, cap=2048, **kw):
 def test_step_lowers_for_tpu(dim, layout):
     scene = _scene(dim=dim)
     solver, state = _pallas_solver(scene, layout)
+    _lower_tpu(solver._step_fn, state)
+
+
+@pytest.mark.parametrize("sub,block", [(2, 128), (4, 128), (2, 256)])
+def test_sub_slab_step_lowers_for_tpu(sub, block):
+    # per-sub-slab compacted streams (SweepConfig.sub_slabs) change the
+    # compaction indexing and the math-loop slicing — lower each shape
+    scene = _scene(dim=3)
+    solver, state = _pallas_solver(scene, "seg", sub=sub, block=block)
     _lower_tpu(solver._step_fn, state)
 
 

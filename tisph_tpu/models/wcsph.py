@@ -149,7 +149,7 @@ class WCSPH(SolverBase):
         )
         meta, need = ps.seg_block_meta(
             plan, sorted_ids, spec, scfg.block_size, scfg.window_cap,
-            bounds=bounds,
+            bounds=bounds, sub=scfg.sub_slabs,
         )
         state = self._track_occ(state, need)
         return state, (plan, meta, sorted_ids)
@@ -212,7 +212,8 @@ class WCSPH(SolverBase):
         )
 
         kw = dict(tile=scfg.tile, interpret=scfg.interpret,
-                  fast_math=scfg.fast_math, mxu=scfg.mxu)
+                  fast_math=scfg.fast_math, mxu=scfg.mxu,
+                  sub=scfg.sub_slabs)
         if self.boundary_mode == "per_step":
             state, pack = self._seg_boundary_volume(state, pack, plan, meta, kw)
         rho_c = ps.density_sweep_seg(

@@ -98,7 +98,8 @@ class WCSPHRigid(WCSPH):
         spec, params, scfg = self.spec, self.params, self.sweep_cfg
         plan, meta, sorted_ids = cache
         kw = dict(tile=scfg.tile, interpret=scfg.interpret,
-                  fast_math=scfg.fast_math, mxu=scfg.mxu)
+                  fast_math=scfg.fast_math, mxu=scfg.mxu,
+                  sub=scfg.sub_slabs)
 
         pack = ps.pack_state(
             state.x, state.v, state.density, state.pressure,

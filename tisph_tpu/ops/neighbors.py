@@ -74,6 +74,15 @@ class SweepConfig:
     #                                chains (f32-precision passes; error
     #                                bounded by |x - origin|^2 * eps — see
     #                                sweeps._TileGeom)
+    sub_slabs: int = 1             # pallas seg impl: split each block's
+    #                                i-lanes into this many SUB-SLABS with
+    #                                their own (narrower) compacted window
+    #                                streams — cuts the per-i processed
+    #                                math lanes toward the exact union at
+    #                                the cost of more compaction chunks
+    #                                (see sweeps.seg_block_meta).  Must
+    #                                divide block_size into 8-aligned
+    #                                slabs; 3*num_rows*sub_slabs <= 125.
     layout: str = "linear"         # pallas impl: 'seg' partitions the sorted
     #                                array into row-confined logical blocks
     #                                (grid.seg_plan) so candidate windows

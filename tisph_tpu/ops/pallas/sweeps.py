@@ -346,7 +346,7 @@ def _ivals_acc0(mode, dim, block, k_sig, params, irow,
         # kept for (bd_i = 1 for the boundary i bvol keeps) — so these
         # modes need no self-exclusion test at all.
         return {"acc0": (jnp.zeros(shape, jnp.float32),)}
-    if mode in ("probe", "probe_noloop"):
+    if mode.startswith("probe"):
         return {"acc0": (jnp.zeros((block,), jnp.float32),)}
     if mode == "reaction":
         return {
@@ -643,6 +643,8 @@ def seg_block_meta(
     plan, sorted_ids: jax.Array, spec: GridSpec, block: int, window: int,
     i_offset: jax.Array | int = 0,
     bounds: jax.Array | None = None,
+    sub: int = 1,
+    own_ids: jax.Array | None = None,
 ) -> tuple["SegMeta", jax.Array]:
     """(SegMeta, need) for the seg layout.
 
@@ -652,51 +654,68 @@ def seg_block_meta(
     (BlockSpec Element index in units of the 128-lane grid), plus lane
     bounds relative to that base.
 
-    meta columns per row:
+    ``sub`` splits each block's 128·k i-lanes into ``sub`` SUB-SLABS that
+    get their own (narrower) candidate ranges: sub-slab s only needs to
+    cover the id span of ITS OWN lanes, so the compacted math stream per
+    i shrinks toward the exact union (lane_decomposition @195k
+    mid-collapse: 1147 lanes/i at sub=1, 817 at 2, 602 at 4) at the cost
+    of ``sub``× compaction passes over a shared block-level window fetch.
+    (The earlier "per-half sub-block windows: wash" entry predates the
+    streaming compaction — 128-lane start quantisation ate the gain then;
+    the rotation merge has no per-row rounding, so the lever is live.)
 
-    - cols [rows, 2*rows):   delta = start - floor128(start), in [0, 128);
-      lanes below delta belong to lower z-cells of the PREVIOUS grid row and
-      must be excluded in-kernel (their own stencil rows cover them)
-    - cols [2*rows, 3*rows): len = end - floor128(start); lanes at/after
-      it likewise belong to the next row / padding
-    - cols [3*rows, 4*rows): g0 = floor128(start) — global j index of the
-      base lane (self-pair exclusion)
+    meta columns:
+
+    - cols [0, 3*rows*sub): per (sub-slab s, stencil row r) triple at
+      3*(s*rows + r): [cb, dlt, t] — the true candidate range of that
+      (s, r) starts at window lane cb*128 + dlt (cb = chunk base, dlt in
+      [0, 128)) and holds t lanes, all relative to the row's shared
+      block-level fetch base floor128(start_r)
+    - col 125/126: own lane range [own_lo, own_hi) (compact output mask)
     - col 127: i_offset (sharded halo-extended i side; 0 single-device)
 
-    ``need`` = longest 128-quantised window any block requires; compared
-    against ``window`` by SolverBase.run after every dispatch (``need >
-    window`` means the far end of some column was clipped this step).
+    ``need`` = longest 128-quantised BLOCK-level window any block requires
+    (the fetch is block-level regardless of ``sub``); compared against
+    ``window`` by SolverBase.run after every dispatch (``need > window``
+    means the far end of some column was clipped this step).
 
-    (Per-half "sub-block windows" were tried and measured a WASH on the
-    v5e — the halved z-span still spans ~2 tiles after 128-lane start
-    quantisation, so the pair-tile count barely moves while the doubled
-    half loop adds overhead; see ROADMAP "levers closed".)
+    ``own_ids``: the array ``plan``'s compact rows index for the sub>1
+    endpoint-id gathers — defaults to ``sorted_ids``; the sharded path
+    passes its LOCAL ids (``sorted_ids`` is then the halo-extended array
+    the CSR ``bounds`` were built over, whose rows are offset from the
+    plan's).
     """
     n = sorted_ids.shape[0]
     window = min(window, n)  # must mirror _run_sweep_seg's effective window
     rows = spec.num_rows
+    if 3 * rows * sub > _OWN_LO:
+        raise ValueError(f"sub={sub} needs {3*rows*sub} meta cols > {_OWN_LO}")
+    if block % sub or (block // sub) % 8:
+        raise ValueError(f"block {block} not divisible into {sub} 8-aligned "
+                         "sub-slabs")
     strides = np.asarray(spec.strides)
     offsets = _row_offsets(spec)
+    offs = [
+        int(np.dot(o, strides[: spec.dim - 1])) if spec.dim > 1 else 0
+        for o in offsets
+    ]
 
-    # Candidate window per stencil offset O = o . strides[:-1]: the block's
-    # own ids span [id_first, id_last], and a particle with cell id c has
-    # offset-O targets in [c + O - 1, c + O + 1] (z +/- 1 in flat id
-    # space), so the union over the block is [id_first + O - 1,
-    # id_last + O + 1], clipped into the grid.  Out-of-grid targets clip to
+    # Candidate window per stencil offset O = o . strides[:-1]: an id span
+    # [lo, hi] has offset-O targets in [lo + O - 1, hi + O + 1] (z +/- 1 in
+    # flat id space), clipped into the grid.  Out-of-grid targets clip to
     # empty/superset windows; geometric validity (per-axis bounds, z
     # clamping) is the KERNEL's per-pair cell-id test — which multi-row
     # (sparse-run) blocks need anyway to keep adjacent offsets'
     # overlapping windows from double counting.
-    act = plan.seg_len > 0
-    q_lo, q_hi = [], []
-    for o in offsets:
-        off = int(np.dot(o, strides[: spec.dim - 1])) if spec.dim > 1 else 0
-        lo = jnp.clip(plan.id_first + off - 1, 0, spec.num_cells)
-        hi = jnp.clip(plan.id_last + off + 1, -1, spec.num_cells - 1)
-        q_lo.append(jnp.where(act, lo, spec.num_cells))
-        q_hi.append(jnp.where(act, hi, -1))
-    q_lo = jnp.stack(q_lo, axis=1)  # (block_cap, rows)
-    q_hi = jnp.stack(q_hi, axis=1)
+    def _q(id_lo, id_hi, active):
+        lo_l, hi_l = [], []
+        for off in offs:
+            lo = jnp.clip(id_lo + off - 1, 0, spec.num_cells)
+            hi = jnp.clip(id_hi + off + 1, -1, spec.num_cells - 1)
+            lo_l.append(jnp.where(active, lo, spec.num_cells))
+            hi_l.append(jnp.where(active, hi, -1))
+        return jnp.stack(lo_l, axis=-1), jnp.stack(hi_l, axis=-1)
+
     # CSR-bounds gathers instead of searchsorted: ~3x cheaper on the v5e
     # (grid.csr_bounds_hist; the bounds are shared with seg_plan when the
     # caller builds them once per rebuild)
@@ -704,9 +723,16 @@ def seg_block_meta(
         from tisph_tpu.ops.grid import csr_bounds_hist
 
         bounds = csr_bounds_hist(sorted_ids, spec)
-    starts = bounds[jnp.clip(q_lo, 0, spec.num_cells)].astype(jnp.int32)
-    ends = bounds[jnp.clip(q_hi + 1, 0, spec.num_cells)].astype(jnp.int32)
 
+    def _se(q_lo, q_hi):
+        starts = bounds[jnp.clip(q_lo, 0, spec.num_cells)].astype(jnp.int32)
+        ends = bounds[jnp.clip(q_hi + 1, 0, spec.num_cells)].astype(jnp.int32)
+        return starts, ends
+
+    # block-level union window: the shared per-row fetch + overflow check
+    act = plan.seg_len > 0
+    q_lo, q_hi = _q(plan.id_first, plan.id_last, act)   # (block_cap, rows)
+    starts, ends = _se(q_lo, q_hi)
     ws128 = (starts // _LANE) * _LANE  # floor128(start): the fetch base
     need = jnp.max(jnp.maximum(ends - ws128, 0))
     # fetch index in units of the 128-lane grid; the index map multiplies
@@ -714,15 +740,43 @@ def seg_block_meta(
     # Fetching exactly ``window`` lanes from the quantised start (instead
     # of 2*window from a window-aligned base) halves the window DMA bytes.
     wblk = ws128 // _LANE
-    delta = starts - ws128      # [0, 128)
-    lens = jnp.clip(ends - ws128, 0, window)  # stay inside the fetch
+
+    # per-sub-slab ranges: sub s must cover the ids of its OWN lanes
+    # [max(own_lo, s*ss), min(own_hi, (s+1)*ss)) — lane l of block b is
+    # compact row seg_start[b] - own_lo... no: seg_start is the 128-aligned
+    # block start, so lane l <-> compact row seg_start + l.  Endpoint ids
+    # come straight from the sorted id array (own lanes are always active).
+    if sub == 1:
+        a_rel = jnp.clip(starts - ws128, 0, window)[:, None, :]
+        e_rel = jnp.clip(ends - ws128, 0, window)[:, None, :]
+    else:
+        ss = block // sub
+        s_ix = jnp.arange(sub, dtype=jnp.int32)
+        own_hi = (plan.own_lo + plan.seg_len).astype(jnp.int32)
+        lo_l = jnp.maximum(plan.own_lo[:, None].astype(jnp.int32),
+                           s_ix[None, :] * ss)          # (block_cap, sub)
+        hi_l = jnp.minimum(own_hi[:, None], (s_ix[None, :] + 1) * ss)
+        act_s = act[:, None] & (hi_l > lo_l)
+        oids = sorted_ids if own_ids is None else own_ids
+        n_own = oids.shape[0]
+        row0 = plan.seg_start[:, None].astype(jnp.int32)
+        id_lo = oids[jnp.clip(row0 + lo_l, 0, n_own - 1)].astype(jnp.int32)
+        id_hi = oids[
+            jnp.clip(row0 + hi_l - 1, 0, n_own - 1)
+        ].astype(jnp.int32)
+        id_lo = jnp.minimum(id_lo, spec.num_cells - 1)
+        id_hi = jnp.minimum(id_hi, spec.num_cells - 1)
+        q_lo_s, q_hi_s = _q(id_lo, id_hi, act_s)  # (block_cap, sub, rows)
+        starts_s, ends_s = _se(q_lo_s, q_hi_s)
+        a_rel = jnp.clip(starts_s - ws128[:, None, :], 0, window)
+        e_rel = jnp.clip(ends_s - ws128[:, None, :], 0, window)
+    t_sr = jnp.maximum(e_rel - a_rel, 0)
+    triple = jnp.stack([a_rel // _LANE, a_rel % _LANE, t_sr], axis=-1)
 
     block_cap = plan.seg_start.shape[0]
     meta = jnp.zeros((block_cap, 128), jnp.int32)
     meta = (
-        meta.at[:, rows : 2 * rows].set(delta)
-        .at[:, 2 * rows : 3 * rows].set(lens)
-        .at[:, 3 * rows : 4 * rows].set(ws128)
+        meta.at[:, : 3 * rows * sub].set(triple.reshape(block_cap, -1))
         .at[:, _OWN_LO].set(plan.own_lo.astype(jnp.int32))
         .at[:, _OWN_HI].set(
             (plan.own_lo + plan.seg_len).astype(jnp.int32)
@@ -754,7 +808,8 @@ def _seg_sweep_kernel(
     out_ref,        # (B, 8) VMEM
     jbuf,           # (2, rows, FR, W) VMEM scratch — window double buffer
     sems,           # (2, rows) DMA semaphores
-    cbuf,           # (FR, rows*W) VMEM scratch — compacted window stream
+    cbuf,           # (FR, ~sub*rows*W) VMEM scratch — per-sub-slab
+    #                 compacted window streams (dynamic bases)
     *,
     mode: str,
     spec: GridSpec,
@@ -764,6 +819,7 @@ def _seg_sweep_kernel(
     tile: int,
     fast_math: bool = True,
     mxu: bool = False,
+    sub: int = 1,
 ):
     """Seg-layout sweep over anchor-confined logical blocks (grid.seg_plan:
     dense rows get their own z-trimmed blocks; sparse-row runs share
@@ -830,28 +886,11 @@ def _seg_sweep_kernel(
         for r in range(rows):
             dma(1 - slot, r, blk + 1).start()
 
-    irow = lambda rr: ipack_ref[rr, :]  # (B,)
-    xi = [irow(_X + a) for a in range(dim)]
-    # z (fastest-axis cell coord) decoded from the packed id row
-    # (i32-exact: num_cells < 2^24 is enforced at bind)
-    zi = jax.lax.rem(irow(_ID).astype(jnp.int32), jnp.int32(int(strides[-2]))
-                     ) if dim > 1 else irow(_ID).astype(jnp.int32)
-
-    lane_acc = (not mxu) and mode not in ("probe", "probe_noloop")
-    ivals = _ivals_acc0(mode, dim, block, k_sig, params, irow,
-                        lane_acc=lane_acc, tile=tile)
-    acc0 = ivals.pop("acc0")
-    bias = ivals.pop("bias", None)
-    vi = ivals.get("vi")
-
-    # separable per-i membership bounds (see docstring): the row-offset
-    # part of the cell range is folded into the j ids at compaction time,
-    # so each i only needs its own z-clamped [lo, hi] — f32-exact
-    idf = irow(_ID)
-    zf = zi.astype(jnp.float32)
+    lane_acc = (not mxu) and not mode.startswith("probe")
+    if sub != 1 and (mxu or mode.startswith("probe")):
+        raise NotImplementedError("mxu/probe modes require sub=1")
+    ss = block // sub
     res_z = float(int(res[-1]))
-    lo_i = (idf - jnp.minimum(zf, 1.0))[:, None]
-    hi_i = (idf + jnp.minimum(res_z - 1.0 - zf, 1.0))[:, None]
     # i-independent row offsets o . strides[:-1] (static constants)
     o_offs = [
         float(np.dot(o, strides[: dim - 1])) if dim > 1 else 0.0
@@ -861,66 +900,89 @@ def _seg_sweep_kernel(
     for r in range(rows):
         dma(slot, r, blk).wait()
 
-    # ---- compaction: stream each row's occupied TRUE range [delta, len)
-    # into cbuf back-to-back with NO rounding at all — each source chunk
-    # is rotated so its true start lands at the row's running dest
-    # position and merged into the two dest chunks it straddles.  Junk
-    # lanes that survive anywhere (row-tail overrun, never-written tail)
-    # are INERT: beyond-window lanes hold real particles whose ids exceed
-    # the block-level CSR end, so their shifted id exceeds every hi_i;
-    # zero-pad lanes carry zero mass/material; unwritten lanes keep the
-    # sentinel id. ----
-    cumc = [jnp.int32(0)]   # source 128-chunk cumsum (loop bound)
-    cumt = [jnp.int32(0)]   # true-lane cumsum (dest positions)
-    deltas = []
-    for r in range(rows):
-        d_r = meta_ref[mrow, rows + r]
-        wl_r = meta_ref[mrow, 2 * rows + r]
-        deltas.append(d_r)
-        t_r = jnp.maximum(wl_r - d_r, 0)
-        cumc.append(cumc[-1] + pl.cdiv(t_r, _LANE))
-        cumt.append(cumt[-1] + t_r)
-    nch = cumc[rows]
-    nlanes = cumt[rows]
+    # ---- compaction: stream each (sub-slab, row)'s occupied TRUE range
+    # into that sub-slab's region of cbuf back-to-back with NO rounding at
+    # all — each source chunk is rotated so its true start lands at the
+    # stream's running dest position and merged into the two dest chunks
+    # it straddles.  Junk lanes that survive anywhere (row-tail overrun,
+    # never-written tail) are INERT: beyond-range lanes hold real
+    # particles whose ids exceed the sub-slab's CSR end, so their shifted
+    # id exceeds every OWN hi_i of the sub-slab (non-own lanes are garbage
+    # the caller masks anyway); zero-pad lanes carry zero mass/material;
+    # unwritten lanes keep the sentinel id. ----
+    cumc = [jnp.int32(0)]   # source 128-chunk cumsum over (sub, row) entries
+    cbs, dlts, dsts = [], [], []
+    nl = []                 # per-sub true lane count
+    base_s = [jnp.int32(0)]  # per-sub stream base (128-aligned by constr.)
+    for s in range(sub):
+        cum_s = jnp.int32(0)
+        for r in range(rows):
+            c = 3 * (s * rows + r)
+            cbs.append(meta_ref[mrow, c])
+            dlts.append(meta_ref[mrow, c + 1])
+            t_sr = meta_ref[mrow, c + 2]
+            dsts.append(base_s[s] + cum_s)
+            cumc.append(cumc[-1] + pl.cdiv(t_sr, _LANE))
+            cum_s = cum_s + t_sr
+        nl.append(cum_s)
+        # next stream starts past this one's tail-fill region
+        # [floor128(nl), +tile+128), kept on the 128 grid (every term is a
+        # multiple of 128; the hint lets Mosaic prove the tile loop's
+        # B_s + t*tile loads aligned — it cannot see through cdiv)
+        base_s.append(pl.multiple_of(
+            base_s[s] + pl.cdiv(cum_s, _LANE) * _LANE + tile + _LANE, _LANE
+        ))
+    nch = cumc[-1]
     # sentinel-fill the id lane so tile-rounding tail lanes fail the test
     cbuf[_ID, :] = jnp.full((cbuf.shape[1],), -3e9, jnp.float32)
-    # Tail lanes in [nlanes + last-row overrun, ceil_tile(nlanes)) are
-    # never written by the chunk loop, and the sentinel id alone is NOT
-    # enough to neutralise them: reduce_v multiplies the where-masked coef
-    # by dx, and scratch garbage can be non-finite (0 * inf = NaN poisons
-    # the whole block's accumulators).  Pre-fill the possible tail region
-    # [floor128(nlanes), +tile+128) with FINITE zeros (sentinel in the id
-    # row); the chunk loop then overwrites the real-data prefix.
+    # Tail lanes in [nl + last-row overrun, ceil_tile(nl)) of each stream
+    # are never written by the chunk loop, and the sentinel id alone is
+    # NOT enough to neutralise them: reduce_v multiplies the where-masked
+    # coef by dx, and scratch garbage can be non-finite (0 * inf = NaN
+    # poisons the whole block's accumulators).  Pre-fill each stream's
+    # possible tail region [floor128(nl), +tile+128) with FINITE zeros
+    # (sentinel in the id row); the chunk loop overwrites the real prefix.
     rowi = jax.lax.broadcasted_iota(jnp.int32, (cbuf.shape[0], _LANE), 0)
     fill = jnp.where(rowi == _ID, -3e9, 0.0)
-    tail0 = pl.multiple_of(
-        nlanes - jax.lax.rem(nlanes, jnp.int32(_LANE)), _LANE
-    )
-    for c in range(tile // _LANE + 1):
-        cbuf[:, pl.ds(tail0 + c * _LANE, _LANE)] = fill
+    for s in range(sub):
+        tail0 = pl.multiple_of(
+            base_s[s] + nl[s] - jax.lax.rem(nl[s], jnp.int32(_LANE)), _LANE
+        )
+        for c in range(tile // _LANE + 1):
+            cbuf[:, pl.ds(tail0 + c * _LANE, _LANE)] = fill
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
     rowi2 = jax.lax.broadcasted_iota(jnp.int32, (cbuf.shape[0], 2 * _LANE), 0)
 
     def ch_body(k, carry):
-        r = jnp.int32(0)
-        base = jnp.int32(0)
-        off = jnp.float32(o_offs[0])
-        delta = deltas[0]
-        cum = jnp.int32(0)
-        for j in range(1, rows):  # scalar select chain
-            cj = k >= cumc[j]
-            r = jnp.where(cj, j, r)
-            base = jnp.where(cj, cumc[j], base)
-            off = jnp.where(cj, jnp.float32(o_offs[j]), off)
-            delta = jnp.where(cj, deltas[j], delta)
-            cum = jnp.where(cj, cumt[j], cum)
+        if mode == "probe_flat":
+            # diagnostic: same chunk count + vector ops, NO scalar select
+            # chain — separates the compaction's scalar vs vector cost.
+            # Source/dest indices are bounds-clamped dummies (cost only).
+            r, off = 0, jnp.float32(0.0)
+            delta, cum, cb = dlts[0], jnp.int32(0), jnp.int32(0)
+            base = k - jax.lax.rem(k, jnp.int32(jbuf.shape[3] // _LANE - 2))
+        else:
+            r = jnp.int32(0)
+            base = jnp.int32(0)
+            off = jnp.float32(o_offs[0])
+            delta = dlts[0]
+            cb = cbs[0]
+            cum = dsts[0]
+            for j in range(1, sub * rows):  # scalar select chain
+                cj = k >= cumc[j]
+                r = jnp.where(cj, j % rows, r)
+                base = jnp.where(cj, cumc[j], base)
+                off = jnp.where(cj, jnp.float32(o_offs[j % rows]), off)
+                delta = jnp.where(cj, dlts[j], delta)
+                cb = jnp.where(cj, cbs[j], cb)
+                cum = jnp.where(cj, dsts[j], cum)
         j128 = k - base
-        m = jax.lax.rem(cum, jnp.int32(_LANE))  # row's dest misalignment
+        m = jax.lax.rem(cum, jnp.int32(_LANE))  # entry's dest misalignment
         # Mosaic requires 128-aligned lane loads: read the aligned
-        # double-chunk and rotate so source lane (j128*128 + delta + l)
+        # double-chunk and rotate so source lane ((cb+j128)*128 + delta+l)
         # lands at rotated position m + l.  The fetch is padded +256
         # lanes so the last double-chunk stays inside DMA'd data.
-        wide = jbuf[slot, r, :, pl.ds(j128 * _LANE, 2 * _LANE)]
+        wide = jbuf[slot, r, :, pl.ds((cb + j128) * _LANE, 2 * _LANE)]
         rw = pltpu.roll(wide, shift=m - delta, axis=1)
         # fold the row offset into the id lane via a row-iota select:
         # value-level .at[].set emits a `scatter`, which Mosaic cannot
@@ -939,58 +1001,95 @@ def _seg_sweep_kernel(
         )
         return carry
 
-    jax.lax.fori_loop(0, nch, ch_body, jnp.int32(0))
-    ntot = pl.cdiv(nlanes, tile)
+    if mode != "probe_nocompact":  # diagnostic: DMA-only fixed cost
+        jax.lax.fori_loop(0, nch, ch_body, jnp.int32(0))
 
-    def tile_body(t, acc_in):
-        jslab_all = cbuf[:, pl.ds(t * tile, tile)]  # (FR, T), one read
-        jrow = lambda rr: jslab_all[rr]  # (T,) static slice
-        if mode == "probe":
-            # diagnostic: fetch + compaction + loop + one vector touch —
-            # measures the sweep's fixed costs without the pair math
-            return (acc_in[0] + jslab_all[_X, 0:128],) + acc_in[1:]
-        idw = jrow(_ID)[None, :]
+    # ---- math: one dense tile loop per sub-slab over ITS stream.  All
+    # per-i operands are static sub_sz-lane slices of the i-slab; with
+    # sub=1 this degenerates to the single block-level loop. ----
+    sub_accs = []
+    for s in range(sub):
+        irow = lambda rr, s=s: ipack_ref[rr, s * ss:(s + 1) * ss]  # (ss,)
+        xi = [irow(_X + a) for a in range(dim)]
+        # z (fastest-axis cell coord) decoded from the packed id row
+        # (i32-exact: num_cells < 2^24 is enforced at bind)
+        zi = jax.lax.rem(
+            irow(_ID).astype(jnp.int32), jnp.int32(int(strides[-2]))
+        ) if dim > 1 else irow(_ID).astype(jnp.int32)
+        ivals = _ivals_acc0(mode, dim, ss, k_sig, params, irow,
+                            lane_acc=lane_acc, tile=tile)
+        acc0 = ivals.pop("acc0")
+        bias = ivals.pop("bias", None)
+        vi = ivals.get("vi")
+        # separable per-i membership bounds (see docstring): the row-offset
+        # part of the cell range is folded into the j ids at compaction
+        # time, so each i only needs its own z-clamped [lo, hi] — f32-exact
+        idf = irow(_ID)
+        zf = zi.astype(jnp.float32)
+        lo_i = (idf - jnp.minimum(zf, 1.0))[:, None]
+        hi_i = (idf + jnp.minimum(res_z - 1.0 - zf, 1.0))[:, None]
+        B_s, ntot = base_s[s], pl.cdiv(nl[s], tile)
 
-        if mxu:
-            jslab = lambda r0, nr: jslab_all[r0:r0 + nr]
-            geom = _mxu_geom(dim, xi, vi, jslab)
+        def tile_body(t, acc_in, B_s=B_s, xi=xi, vi=vi, ivals=ivals,
+                      lo_i=lo_i, hi_i=hi_i):
+            jslab_all = cbuf[:, pl.ds(B_s + t * tile, tile)]  # (FR, T)
+            jrow = lambda rr: jslab_all[rr]  # (T,) static slice
+            if mode == "probe":
+                # diagnostic: fetch + compaction + loop + one vector touch
+                # — measures the sweep's fixed costs without pair math
+                return (acc_in[0] + jslab_all[_X, 0:128],) + acc_in[1:]
+            idw = jrow(_ID)[None, :]
+
+            if mxu:
+                jslab = lambda r0, nr: jslab_all[r0:r0 + nr]
+                geom = _mxu_geom(dim, xi, vi, jslab)
+            else:
+                geom = _vpu_geom(dim, xi, vi, jrow)
+            # Membership is the shifted id-range test ALONE: it assigns
+            # every j to exactly ONE stencil offset per i (cell ranges of
+            # different offsets are disjoint cells — including at grid
+            # edges, thanks to the gap-padded strides), so no pair
+            # double-counts even when a multi-row block's adjacent-offset
+            # windows overlap or a j was copied into several segments.
+            # Window bounds are subsumed by it — each stream's row ranges
+            # ARE the CSR bounds of the sub-slab's id range,
+            # quantisation-spill/overrun lanes hold real particles whose
+            # shifted ids fall outside every own lane's [lo_i, hi_i],
+            # zero-padding lanes carry zero mass/material flags so every
+            # mode's contribution vanishes there, and tile-rounding tail
+            # lanes carry the -3e9 sentinel id.  The r2 < h^2 cutoff is
+            # exact in the spline clamps (W and dW/dq are exactly 0 for
+            # q >= 1).  No self-pair test in ANY mode: density/bvol fold
+            # the self W(0) term into the sweep, and the gradient modes'
+            # self pair contributes exactly zero (reduce_v multiplies by
+            # dx, bitwise 0 for i == j; coef stays finite via the rsqrt
+            # clamp).
+            valid = (idw >= lo_i) & (idw <= hi_i)
+            return _tile_math(mode, dim, h, k_sig, params, fast_math,
+                              ivals, jrow, geom, valid, acc_in)
+
+        if mode in ("probe_noloop", "probe_nocompact", "probe16",
+                    "probe_flat"):
+            acc = (acc0[0] + jbuf[slot, 0, _X, 0:128],) + acc0[1:]
         else:
-            geom = _vpu_geom(dim, xi, vi, jrow)
-        # Membership is the shifted id-range test ALONE: it assigns every
-        # j to exactly ONE stencil offset per i (cell ranges of different
-        # offsets are disjoint cells — including at grid edges, thanks to
-        # the gap-padded strides), so no pair double-counts even when a
-        # multi-row block's adjacent-offset windows overlap or a j was
-        # copied into several segments.  Window bounds are subsumed by
-        # it — the window ends ARE the CSR bounds of the block-level id
-        # range, quantisation-spill/overrun lanes hold real particles
-        # whose shifted ids fall outside [lo_i, hi_i], zero-padding lanes
-        # carry zero mass/material flags so every mode's contribution
-        # vanishes there, and tile-rounding tail lanes carry the -3e9
-        # sentinel id.  The r2 < h^2 cutoff is exact in the spline clamps
-        # (W and dW/dq are exactly 0 for q >= 1).  No self-pair test in
-        # ANY mode: density/bvol fold the self W(0) term into the sweep,
-        # and the gradient modes' self pair contributes exactly zero
-        # (reduce_v multiplies by dx, bitwise 0 for i == j; coef stays
-        # finite via the rsqrt clamp).
-        valid = (idw >= lo_i) & (idw <= hi_i)
-        return _tile_math(mode, dim, h, k_sig, params, fast_math,
-                          ivals, jrow, geom, valid, acc_in)
-
-    if mode == "probe_noloop":
-        acc = (acc0[0] + jbuf[slot, 0, _X, 0:128],) + acc0[1:]
-    else:
-        acc = jax.lax.fori_loop(0, ntot, tile_body, acc0)
-    if lane_acc:
-        # one (B, T) -> (B,) lane reduction per accumulator per BLOCK
-        # (deferred from per-tile), plus the deferred k_sig scale and the
-        # per-axis bias (gravity) that cannot ride in a lane-shaped acc
-        fin = _fin_scale(mode, k_sig, h)
-        acc = tuple(
-            jnp.sum(a, axis=1) * fin
-            + (bias[c] if bias is not None else 0.0)
-            for c, a in enumerate(acc)
-        )
+            acc = jax.lax.fori_loop(0, ntot, tile_body, acc0)
+        if lane_acc:
+            # one (ss, T) -> (ss,) lane reduction per accumulator per
+            # sub-slab (deferred from per-tile), plus the deferred k_sig
+            # scale and the per-axis bias (gravity) that cannot ride in a
+            # lane-shaped acc
+            fin = _fin_scale(mode, k_sig, h)
+            acc = tuple(
+                jnp.sum(a, axis=1) * fin
+                + (bias[c] if bias is not None else 0.0)
+                for c, a in enumerate(acc)
+            )
+        sub_accs.append(acc)
+    acc = tuple(
+        jnp.concatenate([sa[c] for sa in sub_accs])
+        if sub > 1 else sub_accs[0][c]
+        for c in range(len(sub_accs[0]))
+    )
 
     # COMPACT output: this block's out tile is compact rows
     # [iblk*block, +block); only the authoritative lanes [own_lo, own_hi)
@@ -1014,11 +1113,11 @@ def _seg_sweep_kernel(
 
 
 def _run_sweep_seg(pack, meta: "SegMeta", mode, spec, params, block, window,
-                   tile, interpret, fast_math=True, mxu=False):
+                   tile, interpret, fast_math=True, mxu=False, sub=1):
     n = pack.shape[1]
     rows = spec.num_rows
     # density/bvol touch only pack rows [0, 8): fetch half-height windows
-    f_rows = D_ROWS if mode in ("density", "bvol", "probe", "probe_noloop") else F_ROWS
+    f_rows = D_ROWS if mode not in ("force", "reaction", "probe16") else F_ROWS
     if pack.shape[0] > f_rows:
         pack = pack[:f_rows]
     num_blocks = meta.meta.shape[0]  # ceil8(block_cap); padded rows no-op
@@ -1043,7 +1142,7 @@ def _run_sweep_seg(pack, meta: "SegMeta", mode, spec, params, block, window,
         mode=mode, spec=spec, params=params,
         block=block, window=w_eff, tile=tile,
         fast_math=fast_math and not interpret,
-        mxu=mxu,
+        mxu=mxu, sub=sub,
     )
     out = pl.pallas_call(
         kern,
@@ -1069,14 +1168,18 @@ def _run_sweep_seg(pack, meta: "SegMeta", mode, spec, params, block, window,
             scratch_shapes=[
                 pltpu.VMEM((2, rows, f_rows, w_dma), jnp.float32),
                 pltpu.SemaphoreType.DMA((2, rows)),
-                # Write-only slack: the streaming compaction's masked
-                # double-chunk writes extend up to 256 lanes past a row's
-                # true end, and the finite tail pre-fill covers
-                # [floor128(nlanes), +tile+128); near-full windows can
-                # push either past rows*w_fetch.  The tile loop never
-                # reads past ceil_tile(nlanes) <= rows*w_fetch.
+                # One compacted stream region per sub-slab, at dynamic
+                # 128-aligned bases base_s[s+1] = base_s[s] +
+                # ceil128(nl_s) + tile + 128.  Per stream: true lanes
+                # nl_s <= rows * window (each (s, r) range is clipped to
+                # the block fetch), the masked double-chunk merge writes
+                # reach at most nl_s + 255 < ceil128(nl_s) + tile + 128
+                # past the base, the finite tail pre-fill covers
+                # [floor128(nl_s), +tile+128), and the tile loop never
+                # reads past ceil_tile(nl_s) — all within the next base.
                 pltpu.VMEM(
-                    (f_rows, rows * w_fetch + max(2 * _LANE, tile + _LANE)),
+                    (f_rows,
+                     sub * (rows * w_fetch + tile + 2 * _LANE)),
                     jnp.float32,
                 ),
             ],
@@ -1090,36 +1193,44 @@ def _run_sweep_seg(pack, meta: "SegMeta", mode, spec, params, block, window,
 
 
 def density_sweep_seg(pack, meta: "SegMeta", spec, params, block, window,
-                      tile=256, interpret=False, fast_math=True, mxu=False):
+                      tile=256, interpret=False, fast_math=True, mxu=False,
+                      sub=1):
     """Seg-layout density sweep; COMPACT (n,) output — valid where
     SegPlan.back_valid (lanes no block owns hold garbage)."""
     out = _run_sweep_seg(pack, meta, "density", spec, params,
-                         block, window, tile, interpret, fast_math, mxu)
+                         block, window, tile, interpret, fast_math, mxu,
+                         sub=sub)
     return out[:, 0]
 
 
 def force_sweep_seg(pack, meta: "SegMeta", spec, params, block, window,
-                    tile=256, interpret=False, fast_math=True, mxu=False):
+                    tile=256, interpret=False, fast_math=True, mxu=False,
+                    sub=1):
     """Seg-layout fused force sweep; COMPACT (n, dim) output — valid
     where SegPlan.back_valid."""
     out = _run_sweep_seg(pack, meta, "force", spec, params,
-                         block, window, tile, interpret, fast_math, mxu)
+                         block, window, tile, interpret, fast_math, mxu,
+                         sub=sub)
     return out[:, : spec.dim]
 
 
 def bvol_sweep_seg(pack, meta: "SegMeta", spec, params, block, window,
-                   tile=256, interpret=False, fast_math=True, mxu=False):
+                   tile=256, interpret=False, fast_math=True, mxu=False,
+                   sub=1):
     """Seg-layout boundary-volume denominator; COMPACT (n,) output —
     valid where SegPlan.back_valid."""
     out = _run_sweep_seg(pack, meta, "bvol", spec, params,
-                         block, window, tile, interpret, fast_math, mxu)
+                         block, window, tile, interpret, fast_math, mxu,
+                         sub=sub)
     return out[:, 0]
 
 
 def reaction_sweep_seg(pack, meta: "SegMeta", spec, params, block, window,
-                       tile=256, interpret=False, fast_math=True, mxu=False):
+                       tile=256, interpret=False, fast_math=True, mxu=False,
+                       sub=1):
     """Seg-layout fluid->boundary reaction force; COMPACT (n, dim)
     output — valid where SegPlan.back_valid."""
     out = _run_sweep_seg(pack, meta, "reaction", spec, params,
-                         block, window, tile, interpret, fast_math, mxu)
+                         block, window, tile, interpret, fast_math, mxu,
+                         sub=sub)
     return out[:, : spec.dim]

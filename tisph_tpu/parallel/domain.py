@@ -379,7 +379,8 @@ class ShardedWCSPH(SolverBase):
             ids_e = ext["ids"]
             bounds_e = gridops.csr_bounds_hist(ids_e, spec)
             meta, need = ps.seg_block_meta(
-                plan, ids_e, spec, block, scfg.window_cap, bounds=bounds_e
+                plan, ids_e, spec, block, scfg.window_cap, bounds=bounds_e,
+                sub=scfg.sub_slabs, own_ids=ids_l,
             )
             meta = meta._replace(iblk=meta.iblk + off // block)
             need = need.astype(jnp.int32)
@@ -420,7 +421,7 @@ class ShardedWCSPH(SolverBase):
         meta, back_valid, sorted_ids = cache
         axis_spec = P(ax)
         kw = dict(tile=scfg.tile, interpret=scfg.interpret,
-                  fast_math=scfg.fast_math)
+                  fast_math=scfg.fast_math, sub=scfg.sub_slabs)
 
         def sweep_shard(mode, ids_l, meta_c, bval, *fields):
             f_local = dict(zip(_FIELD_KEYS, fields))

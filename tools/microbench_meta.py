@@ -115,7 +115,7 @@ def probe_sweep():
         s.x, s.v, s.density, s.pressure, s.mass, s.volume, s.material, i,
         params))(st, ids)
 
-    for mode in ("probe_noloop", "probe", "density", "force"):
+    for mode in ("probe_nocompact", "probe_flat", "probe_noloop", "probe16", "probe", "density", "force"):
         fn = jax.jit(functools.partial(
             ps._run_sweep_seg, mode=mode, spec=spec, params=params,
             block=scfg.block_size, window=scfg.window_cap, tile=scfg.tile,

@@ -43,6 +43,9 @@ def main():
     ap.add_argument("--layout", choices=["linear", "seg"], default=None)
     ap.add_argument("--mxu", type=int, default=None,
                     help="seg layout: 1/0 force the MXU tile geometry on/off")
+    ap.add_argument("--sub", type=int, default=None,
+                    help="seg layout: sub-slabs per block (SweepConfig"
+                         ".sub_slabs)")
     ap.add_argument("--settle", type=int, default=50,
                     help="steps to run before measuring (mid-collapse state)")
     ap.add_argument("--resort", type=int, default=1,
@@ -58,13 +61,15 @@ def main():
         solver.pallas_layout = args.layout
     state = solver.bind(state)
     scfg = solver.sweep_cfg
-    if args.block or args.tile or args.window or args.mxu is not None:
+    if (args.block or args.tile or args.window or args.mxu is not None
+            or args.sub):
         scfg = dataclasses.replace(
             scfg,
             block_size=args.block or scfg.block_size,
             tile=args.tile or scfg.tile,
             window_cap=args.window or scfg.window_cap,
             mxu=bool(args.mxu) if args.mxu is not None else scfg.mxu,
+            sub_slabs=args.sub or scfg.sub_slabs,
         )
         solver.sweep_cfg = scfg
         state = solver.bind(state)
@@ -111,7 +116,8 @@ def main():
         plan = plan_fn(ids)
         meta_fn = jax.jit(
             lambda plan, ids: ps.seg_block_meta(
-                plan, ids, spec, scfg.block_size, scfg.window_cap
+                plan, ids, spec, scfg.block_size, scfg.window_cap,
+                sub=scfg.sub_slabs,
             )
         )
         t_meta = timeit(meta_fn, (plan, ids), args.reps)
@@ -121,10 +127,12 @@ def main():
         dens_fn = lambda pack, meta: ps.density_sweep_seg(
             pack, meta, spec, params, scfg.block_size, scfg.window_cap,
             tile=scfg.tile, fast_math=scfg.fast_math, mxu=scfg.mxu,
+            sub=scfg.sub_slabs,
         )
         force_fn = lambda pack, meta: ps.force_sweep_seg(
             pack, meta, spec, params, scfg.block_size, scfg.window_cap,
             tile=scfg.tile, fast_math=scfg.fast_math, mxu=scfg.mxu,
+            sub=scfg.sub_slabs,
         )
     else:
         meta_fn = jax.jit(
