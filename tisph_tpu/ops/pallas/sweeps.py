@@ -953,7 +953,10 @@ def _seg_sweep_kernel(
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
     rowi2 = jax.lax.broadcasted_iota(jnp.int32, (cbuf.shape[0], 2 * _LANE), 0)
 
-    def ch_body(k, carry):
+    def _chunk(k):
+        """Rotated double-chunk + dest indices for source chunk k.  Reads
+        jbuf/meta only (never cbuf).  All indices stay in-bounds for any
+        k in [0, max(nch, 1))."""
         if mode == "probe_flat":
             # diagnostic: same chunk count + vector ops, NO scalar select
             # chain — separates the compaction's scalar vs vector cost.
@@ -983,14 +986,24 @@ def _seg_sweep_kernel(
         # lands at rotated position m + l.  The fetch is padded +256
         # lanes so the last double-chunk stays inside DMA'd data.
         wide = jbuf[slot, r, :, pl.ds((cb + j128) * _LANE, 2 * _LANE)]
-        rw = pltpu.roll(wide, shift=m - delta, axis=1)
+        if mode == "probe_noroll":
+            # diagnostic: full compaction minus ONLY the dynamic roll —
+            # isolates the roll butterfly's share of the chunk cost
+            rw = wide
+        else:
+            rw = pltpu.roll(wide, shift=m - delta, axis=1)
         # fold the row offset into the id lane via a row-iota select:
         # value-level .at[].set emits a `scatter`, which Mosaic cannot
         # lower inside the fori body (only caught on real-TPU compile)
         rw = jnp.where(rowi2 == _ID, rw - off, rw)
-        # 128-aligned dest chunk base (m = cum mod 128, so cum - m is a
-        # multiple of 128 — Mosaic needs the hint to prove it)
-        dest = pl.multiple_of((cum - m) + j128 * _LANE, _LANE)
+        # dest CHUNK index (m = cum mod 128, so cum - m is a multiple of
+        # 128); returned in chunk units — the merge re-multiplies by
+        # _LANE, which Mosaic can prove 128-aligned
+        dest_c = ((cum - m) + j128 * _LANE) // _LANE
+        return rw, dest_c, m
+
+    def _merge(rw, dest_c, m):
+        dest = pl.multiple_of(dest_c * _LANE, _LANE)
         d1 = cbuf[:, pl.ds(dest, _LANE)]
         cbuf[:, pl.ds(dest, _LANE)] = jnp.where(
             lane128 >= m, rw[:, :_LANE], d1
@@ -999,6 +1012,16 @@ def _seg_sweep_kernel(
         cbuf[:, pl.ds(dest + _LANE, _LANE)] = jnp.where(
             lane128 < m, rw[:, _LANE:], d2
         )
+
+    # One chunk per iteration.  Scheduling levers measured DEAD on the
+    # v5e (round 3): carrying chunk k+1's rotation in the loop carry and
+    # 4-way unrolling with independent _chunk() rotations both left
+    # probe_noloop unchanged (~5.5 ms) — Mosaic does not overlap the
+    # roll-butterfly latencies across chunk bodies, so the per-chunk cost
+    # (~54 cycles of dependent roll + RMW merge) is not schedulable away.
+
+    def ch_body(k, carry):
+        _merge(*_chunk(k))
         return carry
 
     if mode != "probe_nocompact":  # diagnostic: DMA-only fixed cost
@@ -1069,7 +1092,7 @@ def _seg_sweep_kernel(
                               ivals, jrow, geom, valid, acc_in)
 
         if mode in ("probe_noloop", "probe_nocompact", "probe16",
-                    "probe_flat"):
+                    "probe_flat", "probe_noroll"):
             acc = (acc0[0] + jbuf[slot, 0, _X, 0:128],) + acc0[1:]
         else:
             acc = jax.lax.fori_loop(0, ntot, tile_body, acc0)

@@ -70,6 +70,38 @@ def main():
     )
     print(f"histogram+cumsum CSR ({spec.num_cells} cells): "
           f"{timeit(hist, (ids,)):7.2f} ms")
+
+    # same scatter with the sortedness declared (both call sites pass
+    # cell-sorted ids) — lets XLA pick a sorted-scatter lowering
+    dnums = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(), inserted_window_dims=(0,),
+        scatter_dims_to_operand_dims=(0,),
+    )
+    hist_s = jax.jit(
+        lambda i: jnp.cumsum(
+            jax.lax.scatter_add(
+                jnp.zeros(spec.num_cells + 1, jnp.int32),
+                jnp.minimum(i, spec.num_cells)[:, None],
+                jnp.ones_like(i, jnp.int32),
+                dnums,
+                indices_are_sorted=True,
+                mode=jax.lax.GatherScatterMode.CLIP,
+            )
+        )
+    )
+    print(f"hist sorted-scatter   : {timeit(hist_s, (ids,)):7.2f} ms")
+    # run-start scatter-min + reverse min-scan alternative
+    hist_m = jax.jit(
+        lambda i: jax.lax.associative_scan(
+            jnp.minimum,
+            jnp.full((spec.num_cells + 1,), n, jnp.int32).at[
+                jnp.minimum(i, spec.num_cells)
+            ].min(jnp.arange(n, dtype=jnp.int32), mode="drop",
+                  indices_are_sorted=True),
+            reverse=True,
+        )
+    )
+    print(f"hist min-scatter+scan : {timeit(hist_m, (ids,)):7.2f} ms")
     bounds = hist(ids)
     gather = jax.jit(lambda b, q: b[jnp.minimum(q, spec.num_cells)])
     print(f"bounds gather {nq} queries: {timeit(gather, (bounds, q)):7.2f} ms")
@@ -115,7 +147,8 @@ def probe_sweep():
         s.x, s.v, s.density, s.pressure, s.mass, s.volume, s.material, i,
         params))(st, ids)
 
-    for mode in ("probe_nocompact", "probe_flat", "probe_noloop", "probe16", "probe", "density", "force"):
+    for mode in ("probe_nocompact", "probe_flat", "probe_noroll",
+                 "probe_noloop", "probe16", "probe", "density", "force"):
         fn = jax.jit(functools.partial(
             ps._run_sweep_seg, mode=mode, spec=spec, params=params,
             block=scfg.block_size, window=scfg.window_cap, tile=scfg.tile,
