@@ -3,7 +3,11 @@ fluid-coupled rigid-body physics gates on the REAL TPU (Mosaic-compiled
 kernels, not interpret mode) and record the outcome as a JSON artifact the
 repo checks in (artifacts/tpu_gate.json).
 
-    PYTHONPATH=.:/root/.axon_site python tools/run_tpu_gate.py
+    PYTHONPATH=.:/root/.axon_site python tools/run_tpu_gate.py [suite...]
+
+With suite-name substrings as argv, runs only the matching suites and
+MERGES their results into the existing artifact (other suites' entries
+are kept); with no args, runs everything and rewrites the artifact.
 
 The CPU CI runs the same tests in interpret mode; this artifact is the
 evidence that the compiled kernels agree with the oracle ON HARDWARE
@@ -28,9 +32,20 @@ SUITES = [
 def main() -> int:
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ, TISPH_TEST_TPU="1")
+    filters = sys.argv[1:]
+    suites = [s for s in SUITES
+              if not filters or any(f in s[0] for f in filters)]
+    if not suites:
+        print(f"no suite matches {filters}; have "
+              f"{[n for n, _ in SUITES]}", file=sys.stderr)
+        return 2
+    out = os.path.join(here, "artifacts", "tpu_gate.json")
     results = {}
+    if filters and os.path.exists(out):
+        with open(out) as f:
+            results = json.load(f).get("suites", {})
     ok = True
-    for name, args in SUITES:
+    for name, args in suites:
         cmd = [sys.executable, "-m", "pytest", "-q", "--no-header",
                "-o", "addopts=", *args]
         print(f"== {name}: {' '.join(args)}", flush=True)
@@ -44,6 +59,8 @@ def main() -> int:
         }
         print(f"   {results[name]['summary']} (rc={p.returncode})", flush=True)
         ok &= p.returncode == 0
+    # merged (not-rerun) suites count toward ok too
+    ok &= all(r.get("returncode") == 0 for r in results.values())
     import jax
 
     artifact = {
@@ -54,7 +71,6 @@ def main() -> int:
         "suites": results,
         "ok": ok,
     }
-    out = os.path.join(here, "artifacts", "tpu_gate.json")
     os.makedirs(os.path.dirname(out), exist_ok=True)
     with open(out, "w") as f:
         json.dump(artifact, f, indent=2)
