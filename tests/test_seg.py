@@ -28,14 +28,14 @@ from tisph_tpu.ops.pallas import sweeps as ps
 from test_pallas import _scene
 
 
-def _seg_setup(scene, cap=2048, pad_cap=8192, block=128, wcap=512, mxu=False,
+def _seg_setup(scene, cap=2048, pad_cap=8192, block=128, wcap=512,
                tile=128, sub=1):
     state = tt.build_state(scene)
     solver = tt.WCSPH(
         scene,
         sweep_cfg=SweepConfig(impl="pallas", block_size=block, window_cap=wcap,
                               tile=tile, interpret=_INTERPRET, layout="seg",
-                              pad_capacity=pad_cap, mxu=mxu, sub_slabs=sub),
+                              pad_capacity=pad_cap, sub_slabs=sub),
     )
     state = solver.bind(pad_state_capacity(state, cap))
     spec, params, scfg = solver.spec, solver.params, solver.sweep_cfg
@@ -48,7 +48,6 @@ def _seg_setup(scene, cap=2048, pad_cap=8192, block=128, wcap=512, mxu=False,
     pack = ps.pack_state(
         state_s.x, state_s.v, state_s.density, state_s.pressure,
         state_s.mass, state_s.volume, state_s.material, ids, params,
-        origin=solver._pack_origin(),
     )
     return solver, state_s, ids, plan, meta, pack
 
@@ -88,27 +87,14 @@ def test_seg_plan_is_consistent(dim):
 
 
 @pytest.mark.parametrize("dim", [2, 3])
-@pytest.mark.parametrize("mxu", [
-    False,
-    # On REAL hardware the dead-lever MXU probe is precision-inadequate:
-    # Mosaic lowers in-kernel dot_general to bf16 passes regardless of
-    # Precision.HIGHEST, so the Gram r2 = |xi|^2 - 2 xi.xj + |xj|^2
-    # cancellation at r2 ~ h^2 << |x|^2 carries ~0.23% error (measured
-    # end of round 3, ROADMAP).  Interpret mode (CPU CI) still gates the
-    # formulation's correctness.
-    pytest.param(True, marks=pytest.mark.xfail(
-        condition=not _INTERPRET, strict=True,
-        reason="Mosaic ignores Precision.HIGHEST in-kernel: Gram r2 "
-               "bf16 cancellation ~0.23% >> rtol (see ROADMAP)")),
-])
-def test_seg_density_matches_bruteforce(dim, mxu):
+def test_seg_density_matches_bruteforce(dim):
     scene = _scene(dim=dim)
-    solver, state_s, ids, plan, meta, pack = _seg_setup(scene, mxu=mxu)
+    solver, state_s, ids, plan, meta, pack = _seg_setup(scene)
     spec, params, scfg = solver.spec, solver.params, solver.sweep_cfg
 
     rho_blk = ps.density_sweep_seg(
         pack, meta, spec, params, scfg.block_size, scfg.window_cap,
-        tile=scfg.tile, interpret=_INTERPRET, mxu=scfg.mxu,
+        tile=scfg.tile, interpret=_INTERPRET,
     )
     # compact kernel output: valid where plan.back_valid (all active
     # lanes here, asserted by test_seg_plan_roundtrip)
@@ -135,17 +121,11 @@ def test_seg_density_matches_bruteforce(dim, mxu):
 @pytest.mark.parametrize("sub,block", [
     (2, 128),
     (4, 128),
-    # sub>1 at block=256 hits a Mosaic backend-compile limitation on
-    # real TPU: the sub-stream compaction emits tpu.concatenate of two
-    # (128,) vectors with "input offsets outside of the first tile"
-    # (diagnosed end of round 3, ROADMAP).  The AOT lowering gate
-    # cannot see backend-compile failures; interpret mode still gates
-    # the equivalence.  Fix or retire with the sub_slabs lever (dead
-    # for perf anyway) in round 4.
-    pytest.param(2, 256, marks=pytest.mark.xfail(
-        condition=not _INTERPRET, strict=True,
-        reason="Mosaic backend: concatenate offsets outside first tile "
-               "(see ROADMAP)")),
+    # block=256 regression case: the round-3 per-sub output CONCATENATE
+    # along the lane axis hit a Mosaic backend-compile limitation here
+    # ("input offsets outside of the first tile"); the kernel now writes
+    # each sub-slab's own static sublane slice instead (round 4).
+    (2, 256),
 ])
 def test_seg_sub_slab_matches_sub1(dim, sub, block):
     """sub_slabs > 1 is a pure re-streaming of the same pair set: each
@@ -178,15 +158,14 @@ def test_seg_sub_slab_matches_sub1(dim, sub, block):
                                np.asarray(dv1)[valid] / scale, atol=2e-6)
 
 
-@pytest.mark.parametrize("mxu,tile", [(False, 128), (True, 128), (False, 256)])
-def test_seg_force_matches_blocked(mxu, tile):
+@pytest.mark.parametrize("tile", [128, 256])
+def test_seg_force_matches_blocked(tile):
     """tile=256 also covers the compacted stream's tile-rounding tail
     region (lanes past the last written chunk must stay inert — the
     finite-zero pre-fill in _seg_sweep_kernel; a non-finite lane there
     would NaN the whole block through reduce_v's coef * dx)."""
     scene = _scene()
-    solver, state_s, ids, plan, meta, pack = _seg_setup(scene, mxu=mxu,
-                                                        tile=tile)
+    solver, state_s, ids, plan, meta, pack = _seg_setup(scene, tile=tile)
     spec, params, scfg = solver.spec, solver.params, solver.sweep_cfg
 
     scfg_b = SweepConfig(impl="blocked", block_size=128, window_cap=1024)
@@ -199,16 +178,74 @@ def test_seg_force_matches_blocked(mxu, tile):
     dv_b = np.asarray(F.compute_forces(state_s, nd, spec, params, scfg_b))
     dv_blk = ps.force_sweep_seg(
         pack, meta, spec, params, scfg.block_size, scfg.window_cap,
-        tile=scfg.tile, interpret=_INTERPRET, mxu=scfg.mxu,
+        tile=scfg.tile, interpret=_INTERPRET,
     )
     dv_p = np.asarray(dv_blk)
     fluid = np.asarray(state_s.material) == 1
     scale = np.abs(dv_b[fluid]).max()
-    # mxu: the Gram-matmul r2 / expanded reductions reassociate f32 sums;
-    # error bound |x_c|^2 * eps / r^2 ~ 1e-5 relative (sweeps._TileGeom)
     np.testing.assert_allclose(
-        dv_p[fluid] / scale, dv_b[fluid] / scale, atol=2e-5 if mxu else 5e-6
+        dv_p[fluid] / scale, dv_b[fluid] / scale, atol=5e-6
     )
+
+
+def test_seg_force_react_matches_separate_sweeps(tmp_path):
+    """The fused force+reaction mode must equal the separate force and
+    reaction sweeps EXACTLY (same per-pair arithmetic, per-i select):
+    fluid rows carry dv, boundary rows the reaction force."""
+    import json
+
+    from tisph_tpu.geometry.mesh import box_mesh, save_obj
+
+    mesh_path = tmp_path / "box.obj"
+    save_obj(box_mesh((0.35, 0.5, 0.35), (0.6, 0.75, 0.6)), mesh_path)
+    raw = {
+        "configuration": {
+            "dim": 3, "domainStart": [0.0] * 3, "domainEnd": [1.0] * 3,
+            "particleRadius": 0.04, "density0": 1000,
+            "gravitation": [0.0, -9.81, 0.0], "c_s": 40.0,
+        },
+        "rigidBodies": [
+            {"geometryFile": str(mesh_path), "scale": [1, 1, 1],
+             "translation": [0, 0, 0], "rotationAngle": 0,
+             "rotationAxis": [0, 1, 0], "velocity": [0, 0, 0],
+             "density": 500.0, "color": [150, 150, 150],
+             "isDynamic": True}
+        ],
+        "fluidBlocks": [
+            {"start": [0.15] * 3, "end": [0.6, 0.55, 0.6],
+             "velocity": [0.1, -0.4, 0.2], "density": 1000.0,
+             "color": [50, 100, 200]}
+        ],
+    }
+    p = tmp_path / "scene.json"
+    p.write_text(json.dumps(raw))
+    scene = tt.load_scene(p)
+    solver, state_s, ids, plan, meta, pack = _seg_setup(scene)
+    spec, params, scfg = solver.spec, solver.params, solver.sweep_cfg
+
+    rho = ps.density_sweep_seg(
+        pack, meta, spec, params, scfg.block_size, scfg.window_cap,
+        tile=scfg.tile, interpret=_INTERPRET,
+    )
+    rho = jnp.where(plan.back_valid & state_s.fluid_mask, rho, state_s.density)
+    rho, p = F.compute_pressures(rho, params)
+    pack = ps.repack_eos(pack, rho, p)
+
+    kw = dict(tile=scfg.tile, interpret=_INTERPRET)
+    dv = ps.force_sweep_seg(pack, meta, spec, params, scfg.block_size,
+                            scfg.window_cap, **kw)
+    rx = ps.reaction_sweep_seg(pack, meta, spec, params, scfg.block_size,
+                               scfg.window_cap, **kw)
+    fr = ps.force_react_sweep_seg(pack, meta, spec, params, scfg.block_size,
+                                  scfg.window_cap, **kw)
+    valid = np.asarray(plan.back_valid)
+    fluid = np.asarray(state_s.material) == 1
+    bound = np.asarray(state_s.material) == 0
+    assert (fluid & valid).any() and (bound & valid).any()
+    np.testing.assert_array_equal(np.asarray(fr)[valid & fluid],
+                                  np.asarray(dv)[valid & fluid])
+    np.testing.assert_array_equal(np.asarray(fr)[valid & bound],
+                                  np.asarray(rx)[valid & bound])
 
 
 def test_seg_step_matches_blocked_trajectory():

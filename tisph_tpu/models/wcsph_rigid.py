@@ -98,13 +98,11 @@ class WCSPHRigid(WCSPH):
         spec, params, scfg = self.spec, self.params, self.sweep_cfg
         plan, meta, sorted_ids = cache
         kw = dict(tile=scfg.tile, interpret=scfg.interpret,
-                  fast_math=scfg.fast_math, mxu=scfg.mxu,
-                  sub=scfg.sub_slabs)
+                  fast_math=scfg.fast_math, sub=scfg.sub_slabs)
 
         pack = ps.pack_state(
             state.x, state.v, state.density, state.pressure,
             state.mass, state.volume, state.material, sorted_ids, params,
-            origin=self._pack_origin(),
         )
         state, pack = self._seg_boundary_volume(state, pack, plan, meta, kw)
 
@@ -118,16 +116,17 @@ class WCSPHRigid(WCSPH):
         state = dataclasses.replace(state, density=rho, pressure=pressure)
         pack = ps.repack_eos(pack, rho, pressure)
 
-        dv_blk = ps.force_sweep_seg(
+        # fused force + reaction: ONE seg pass over the shared windows
+        # emits the fluid dv on fluid rows and the fluid->boundary
+        # reaction on boundary rows (bit-identical per-pair arithmetic to
+        # the former separate sweeps; gated by
+        # test_rigid_dynamics.py::test_seg_coupled_matches_blocked)
+        fr_blk = ps.force_react_sweep_seg(
             pack, meta, spec, params, scfg.block_size, scfg.window_cap, **kw
         )
-        d_velocity = jnp.where(keep_f[:, None], dv_blk, 0.0)
-
-        rx_blk = ps.reaction_sweep_seg(
-            pack, meta, spec, params, scfg.block_size, scfg.window_cap, **kw
-        )
+        d_velocity = jnp.where(keep_f[:, None], fr_blk, 0.0)
         keep_b = plan.back_valid & state.boundary_mask
-        reactions = jnp.where(keep_b[:, None], rx_blk, 0.0)
+        reactions = jnp.where(keep_b[:, None], fr_blk, 0.0)
 
         state = F.advect(state, d_velocity, params)
         state, rigid = integrate_rigid(state, rigid, reactions, params)

@@ -218,6 +218,21 @@ def csr_bounds_hist(ids: jax.Array, spec: GridSpec) -> jax.Array:
     return jnp.concatenate([jnp.zeros((1,), ends.dtype), ends]).astype(jnp.int32)
 
 
+def csr_bounds_fast(
+    ids_sorted: jax.Array, spec: GridSpec, interpret: bool = False
+) -> jax.Array:
+    """CSR bounds via the Pallas compare-reduce kernel — requires SORTED
+    input (which the seg rebuild always has in hand).  Replaces
+    :func:`csr_bounds_hist`'s scatter-add on the solver hot path: XLA
+    scatters serialize on TPU (~3 ms at 195k/475k cells, flat across
+    every jnp formulation tried — ROADMAP round 3); the kernel turns the
+    histogram into per-1024-cell-block window compare-reduces on the VPU
+    (see ops/pallas/bounds.py).  Same contract as :func:`csr_bounds`."""
+    from tisph_tpu.ops.pallas.bounds import csr_bounds_sorted
+
+    return csr_bounds_sorted(ids_sorted, spec.num_cells, interpret=interpret)
+
+
 def _segment_of(starts: jax.Array, size: int) -> jax.Array:
     """For each position in [0, size): the index of the segment it falls in,
     where segment s covers [starts[s], starts[s+1]).  ``starts`` must be

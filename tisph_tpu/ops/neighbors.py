@@ -66,14 +66,6 @@ class SweepConfig:
     fast_math: bool = True         # pallas impl: approx reciprocals on the
     #                                viscosity-only divides (~2^-12 rel err
     #                                on a heuristic dissipation term)
-    mxu: bool = False              # pallas seg impl: compute pair r2 / the
-    #                                velocity-position dot / the per-axis
-    #                                force reductions as 3-wide Gram matmuls
-    #                                on the MXU over origin-centered
-    #                                coordinates instead of VPU elementwise
-    #                                chains (f32-precision passes; error
-    #                                bounded by |x - origin|^2 * eps — see
-    #                                sweeps._TileGeom)
     sub_slabs: int = 1             # pallas seg impl: split each block's
     #                                i-lanes into this many SUB-SLABS with
     #                                their own (narrower) compacted window

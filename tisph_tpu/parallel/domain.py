@@ -125,6 +125,13 @@ class ShardedWCSPH(SolverBase):
                 self.sweep_cfg = cfg = _dc.replace(cfg, window_cap=wcap)
             if self.spec.num_cells >= 2**24:
                 raise ValueError("pallas sweep needs num_cells < 2**24")
+            if cfg.sub_slabs != 1:
+                # the sharded local-plan / extended-bounds interaction of
+                # sub>1 has no test coverage (ADVICE r3); the lever is
+                # measured-dead for perf, so reject rather than risk it
+                raise NotImplementedError(
+                    "ShardedWCSPH supports sub_slabs=1 only"
+                )
         state = self._precompute_boundary_volumes(state)
 
         # pad capacity so each shard gets an equal, block-divisible chunk
@@ -373,11 +380,15 @@ class ShardedWCSPH(SolverBase):
             # the plan's block indices (off is a multiple of block on both
             # extension paths), which also makes the kernel's self-pair
             # `own` index land in j coordinates.
-            bounds_l = gridops.csr_bounds_hist(ids_l, spec)
+            bounds_l = gridops.csr_bounds_fast(
+                ids_l, spec, interpret=scfg.interpret
+            )
             plan = gridops.seg_plan(ids_l, spec, block, block_cap, bounds=bounds_l)
             ext, off = self._extend({"ids": ids_l}, hn, hops, shard_rows)
             ids_e = ext["ids"]
-            bounds_e = gridops.csr_bounds_hist(ids_e, spec)
+            bounds_e = gridops.csr_bounds_fast(
+                ids_e, spec, interpret=scfg.interpret
+            )
             meta, need = ps.seg_block_meta(
                 plan, ids_e, spec, block, scfg.window_cap, bounds=bounds_e,
                 sub=scfg.sub_slabs, own_ids=ids_l,
@@ -552,7 +563,7 @@ class ShardedWCSPH(SolverBase):
 
                 meta, need = ps.block_meta(
                     ids_e, coords_l, spec, scfg.block_size, scfg.window_cap,
-                    ids_i=ids_l, i_offset=off,
+                    ids_i=ids_l,
                 )
                 pack_ext = ps.pack_state(
                     f_ext["x"], f_ext["v"], f_ext["density"], f_ext["pressure"],

@@ -41,8 +41,6 @@ def main():
     ap.add_argument("--tile", type=int, default=None)
     ap.add_argument("--window", type=int, default=None)
     ap.add_argument("--layout", choices=["linear", "seg"], default=None)
-    ap.add_argument("--mxu", type=int, default=None,
-                    help="seg layout: 1/0 force the MXU tile geometry on/off")
     ap.add_argument("--sub", type=int, default=None,
                     help="seg layout: sub-slabs per block (SweepConfig"
                          ".sub_slabs)")
@@ -61,14 +59,12 @@ def main():
         solver.pallas_layout = args.layout
     state = solver.bind(state)
     scfg = solver.sweep_cfg
-    if (args.block or args.tile or args.window or args.mxu is not None
-            or args.sub):
+    if args.block or args.tile or args.window or args.sub:
         scfg = dataclasses.replace(
             scfg,
             block_size=args.block or scfg.block_size,
             tile=args.tile or scfg.tile,
             window_cap=args.window or scfg.window_cap,
-            mxu=bool(args.mxu) if args.mxu is not None else scfg.mxu,
             sub_slabs=args.sub or scfg.sub_slabs,
         )
         solver.sweep_cfg = scfg
@@ -102,7 +98,7 @@ def main():
     pack_fn = jax.jit(
         lambda st, ids: ps.pack_state(
             st.x, st.v, st.density, st.pressure, st.mass, st.volume,
-            st.material, ids, params, origin=solver._pack_origin(),
+            st.material, ids, params,
         )
     )
     t_pack = timeit(pack_fn, (st_s, ids), args.reps)
@@ -126,12 +122,12 @@ def main():
         # output compactly through the per-block own-lane mask)
         dens_fn = lambda pack, meta: ps.density_sweep_seg(
             pack, meta, spec, params, scfg.block_size, scfg.window_cap,
-            tile=scfg.tile, fast_math=scfg.fast_math, mxu=scfg.mxu,
+            tile=scfg.tile, fast_math=scfg.fast_math,
             sub=scfg.sub_slabs,
         )
         force_fn = lambda pack, meta: ps.force_sweep_seg(
             pack, meta, spec, params, scfg.block_size, scfg.window_cap,
-            tile=scfg.tile, fast_math=scfg.fast_math, mxu=scfg.mxu,
+            tile=scfg.tile, fast_math=scfg.fast_math,
             sub=scfg.sub_slabs,
         )
     else:

@@ -44,6 +44,13 @@ def main() -> int:
     if filters and os.path.exists(out):
         with open(out) as f:
             results = json.load(f).get("suites", {})
+    try:
+        rev = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], cwd=here,
+            capture_output=True, text=True,
+        ).stdout.strip() or None
+    except OSError:
+        rev = None
     ok = True
     for name, args in suites:
         cmd = [sys.executable, "-m", "pytest", "-q", "--no-header",
@@ -52,10 +59,16 @@ def main() -> int:
         p = subprocess.run(cmd, cwd=here, env=env, capture_output=True,
                            text=True)
         tail = (p.stdout or "").strip().splitlines()[-1:]
+        # per-suite provenance: merged artifacts (filtered reruns keep the
+        # other suites' old entries) must show which results are stale
         results[name] = {
             "args": args,
             "returncode": p.returncode,
             "summary": tail[0] if tail else "",
+            "date": datetime.datetime.now(
+                datetime.timezone.utc
+            ).isoformat(),
+            "revision": rev,
         }
         print(f"   {results[name]['summary']} (rc={p.returncode})", flush=True)
         ok &= p.returncode == 0
