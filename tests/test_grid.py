@@ -153,10 +153,14 @@ def test_csr_bounds_scan_matches_searchsorted():
 
 @pytest.mark.parametrize("dim,n", [(2, 300), (3, 700)])
 def test_csr_bounds_fast_matches_hist(dim, n):
-    """The pallas compare-reduce bounds kernel (interpret mode on CPU)
+    """The pallas compare-reduce bounds kernel (interpret mode on the CPU
+    CI; compiled Mosaic under TISPH_TEST_TPU=1, tools/run_tpu_gate.py)
     must equal the scatter-histogram CSR on sorted ids — including the
     inactive sentinel tail, empty leading cells, and block-boundary
     cells (the 1024-cell window decomposition)."""
+    import os
+
+    interpret = not os.environ.get("TISPH_TEST_TPU")
     spec = gridops.make_grid_spec(dim, [0.0] * dim, [1.0] * dim, 0.07,
                                   run_cap=64)
     state = _random_state(n, dim, seed=7, lo=0.0, hi=1.0)
@@ -164,7 +168,9 @@ def test_csr_bounds_fast_matches_hist(dim, n):
     # park a tail at the inactive sentinel like the solver does
     sorted_ids = sorted_ids.at[-n // 7:].set(spec.num_cells)
     a = np.asarray(gridops.csr_bounds_hist(sorted_ids, spec))
-    b = np.asarray(gridops.csr_bounds_fast(sorted_ids, spec, interpret=True))
+    b = np.asarray(
+        gridops.csr_bounds_fast(sorted_ids, spec, interpret=interpret)
+    )
     np.testing.assert_array_equal(a, b)
 
 

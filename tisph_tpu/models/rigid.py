@@ -138,22 +138,43 @@ def integrate_rigid(
     reactions: jax.Array,  # (N, dim) per-particle fluid->boundary forces
     params: SolverParams,
 ) -> tuple[SimState, RigidState]:
+    """One symplectic step of every dynamic body + its particles (SimState
+    wrapper over :func:`integrate_rigid_fields`)."""
+    x, v, rigid2 = integrate_rigid_fields(
+        state.x, state.v, state.mass, state.object_id,
+        state.boundary_mask, rigid, reactions, params,
+    )
+    return dataclasses.replace(state, x=x, v=v), rigid2
+
+
+def integrate_rigid_fields(
+    x: jax.Array,
+    v: jax.Array,
+    mass: jax.Array,
+    object_id: jax.Array,
+    boundary_mask: jax.Array,
+    rigid: RigidState,
+    reactions: jax.Array,
+    params: SolverParams,
+) -> tuple[jax.Array, jax.Array, RigidState]:
     """One symplectic step of every dynamic body + its particles.  Pure and
-    jittable; the python loop over bodies is static (K is small)."""
-    dim = state.dim
+    jittable; the python loop over bodies is static (K is small).  Field-
+    level so the pack-carry coupled rollout (WCSPHRigid) can call it
+    without a SimState round trip; returns (x, v, rigid) with only body
+    rows of x/v changed."""
+    dim = x.shape[1]
     dt = params.dt
     g = jnp.asarray(params.gravity, jnp.float32)
     lo = jnp.asarray(params.domain_start, jnp.float32) + params.padding
     hi = jnp.asarray(params.domain_end, jnp.float32) - params.padding
 
-    x, v = state.x, state.v
     new_com, new_vcom, new_omega = [], [], []
 
     for k in range(rigid.num_bodies):
         oid = rigid.object_ids[k]
-        mask = (state.object_id == oid) & state.boundary_mask  # (N,)
+        mask = (object_id == oid) & boundary_mask  # (N,)
         maskf = mask.astype(jnp.float32)[:, None]
-        m_p = state.mass * maskf[:, 0]
+        m_p = mass * maskf[:, 0]
 
         com = rigid.com[k]
         r = (x - com) * maskf  # (N, dim), zeroed off-body
@@ -214,4 +235,4 @@ def integrate_rigid(
         v_com=jnp.stack(new_vcom),
         omega=jnp.stack(new_omega),
     )
-    return dataclasses.replace(state, x=x, v=v), rigid2
+    return x, v, rigid2

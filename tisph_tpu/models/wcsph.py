@@ -157,33 +157,6 @@ class WCSPH(SolverBase):
         state = self._track_occ(state, need)
         return state, (plan, meta, sorted_ids)
 
-    def _seg_boundary_volume(self, state: SimState, pack, plan, meta, kw):
-        """Per-step Akinci boundary volumes on the seg pallas path
-        (sph_basev2.py:195-201, 212): bvol sweep -> V = 1/delta -> refresh
-        the volume-derived pack rows.  Returns (state, pack)."""
-        import jax.numpy as jnp
-
-        from tisph_tpu.models.state import MATERIAL_BOUNDARY, MATERIAL_FLUID
-        from tisph_tpu.ops.pallas import sweeps as ps
-
-        spec, params, scfg = self.spec, self.params, self.sweep_cfg
-        delta_c = ps.bvol_sweep_seg(
-            pack, meta, spec, params, scfg.block_size, scfg.window_cap, **kw
-        )
-        keep = plan.back_valid & state.boundary_mask
-        delta = jnp.where(keep, delta_c, 1.0)
-        volume = jnp.where(
-            keep, 1.0 / jnp.maximum(delta, 1e-10), state.volume
-        )
-        state = dataclasses.replace(state, volume=volume)
-        fl = (state.material == MATERIAL_FLUID).astype(jnp.float32)
-        bd = (state.material == MATERIAL_BOUNDARY).astype(jnp.float32)
-        pack = pack.at[ps._VOL, :].set(volume)
-        pack = pack.at[ps._EFFM, :].set(
-            fl * state.mass + bd * (params.density0 * volume)
-        )
-        return state, pack
-
     def _seg_apply(self, state: SimState, cache) -> SimState:
         """One physics step against a (possibly stale) seg structure.
 
@@ -218,13 +191,19 @@ class WCSPH(SolverBase):
         pack = self._seg_apply_pack(pack, cache)
         return self._seg_unpack(state, pack)
 
-    def _seg_apply_pack(self, pack, cache):
+    def _seg_apply_pack(self, pack, cache, with_reactions=False):
         """One physics substep entirely in pack space: bvol (per_step) ->
         density -> EOS -> force -> advect -> domain clamp, with the
         elementwise phases as ROW ops on the (16, n) pack (no SimState
         round trip).  Bitwise-identical physics to the round-3 SimState
         formulation (same ops in the same per-element order; gated by the
-        goldens and test_seg_step_matches_blocked_trajectory)."""
+        goldens and test_seg_step_matches_blocked_trajectory).
+
+        ``with_reactions`` (the rigid coupled path): the force sweep runs
+        in the fused force_react mode and the call returns
+        ``(pack, reactions)`` — the masked fluid->boundary reaction
+        forces — instead of just the pack; the caller integrates the
+        bodies and writes their x/v rows back."""
         import jax.numpy as jnp
 
         from tisph_tpu.ops.pallas import sweeps as ps
@@ -271,7 +250,8 @@ class WCSPH(SolverBase):
         rho, pressure = F.compute_pressures(rho, params)
         pack = ps.repack_eos(pack, rho, pressure)
 
-        dv_c = ps.force_sweep_seg(
+        sweep = ps.force_react_sweep_seg if with_reactions else ps.force_sweep_seg
+        dv_c = sweep(
             pack, meta, spec, params, scfg.block_size, scfg.window_cap, **kw
         )
 
@@ -310,6 +290,9 @@ class WCSPH(SolverBase):
             v_a = jnp.where(refl, vs[a] - cf * v_dot_n * n_hat[a], vs[a])
             pack = pack.at[ps._V + a, :].set(v_a)
             pack = pack.at[ps._X + a, :].set(xs[a])
+        if with_reactions:
+            keep_b = plan.back_valid & (pack[ps._BD] > 0.0)
+            return pack, jnp.where(keep_b[:, None], dv_c, 0.0)
         return pack
 
     def _seg_unpack(self, state: SimState, pack) -> SimState:

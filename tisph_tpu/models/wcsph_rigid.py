@@ -78,11 +78,14 @@ class WCSPHRigid(WCSPH):
 
     def _coupled_apply(self, carry, cache):
         """One coupled physics step against a (possibly stale) seg
-        structure, on the pallas seg fast path: all four sweeps (boundary
-        volume, density, force, fluid->boundary reaction) run as
-        row-confined seg kernels; only the rigid integration (O(bodies))
-        stays in plain jnp.  Matches _coupled_step_fn's blocked physics
-        (gated by tests/test_rigid_dynamics.py::test_seg_coupled_matches_blocked).
+        structure, on the pallas seg fast path: three sweeps per substep —
+        boundary volume, density, and the FUSED force+reaction pass (one
+        kernel emits the fluid dv on fluid rows and the fluid->boundary
+        reaction on boundary rows; round 4, was four sweeps) — all
+        running in pack space (WCSPH._seg_apply_pack); only the rigid
+        integration (O(bodies)) stays in plain jnp.  Matches
+        _coupled_step_fn's blocked physics (gated by
+        tests/test_rigid_dynamics.py::test_seg_coupled_matches_blocked).
 
         Under ``resort_every`` amortization (rollout_coupled) the staleness
         argument of WCSPH._seg_apply extends unchanged to the moving
@@ -90,48 +93,44 @@ class WCSPHRigid(WCSPH):
         sides, rigid-body motion is CFL-bounded like the fluid's, and the
         boundary-volume sweep still runs per substep on CURRENT positions
         (the bodies move, sph_basev2.py:212)."""
-        import jax.numpy as jnp
-
         from tisph_tpu.ops.pallas import sweeps as ps
 
         state, rigid = carry
-        spec, params, scfg = self.spec, self.params, self.sweep_cfg
-        plan, meta, sorted_ids = cache
-        kw = dict(tile=scfg.tile, interpret=scfg.interpret,
-                  fast_math=scfg.fast_math, sub=scfg.sub_slabs)
-
         pack = ps.pack_state(
             state.x, state.v, state.density, state.pressure,
-            state.mass, state.volume, state.material, sorted_ids, params,
+            state.mass, state.volume, state.material, cache[2], self.params,
         )
-        state, pack = self._seg_boundary_volume(state, pack, plan, meta, kw)
-
-        rho_blk = ps.density_sweep_seg(
-            pack, meta, spec, params, scfg.block_size, scfg.window_cap, **kw
+        pack, rigid = self._coupled_apply_pack(
+            pack, rigid, state.object_id, cache
         )
-        keep_f = plan.back_valid & state.fluid_mask
-        rho = jnp.where(keep_f, rho_blk, state.density)
-        rho = F.apply_density_mode(rho, state, params)
-        rho, pressure = F.compute_pressures(rho, params)
-        state = dataclasses.replace(state, density=rho, pressure=pressure)
-        pack = ps.repack_eos(pack, rho, pressure)
+        return self._seg_unpack(state, pack), rigid
 
-        # fused force + reaction: ONE seg pass over the shared windows
-        # emits the fluid dv on fluid rows and the fluid->boundary
-        # reaction on boundary rows (bit-identical per-pair arithmetic to
-        # the former separate sweeps; gated by
-        # test_rigid_dynamics.py::test_seg_coupled_matches_blocked)
-        fr_blk = ps.force_react_sweep_seg(
-            pack, meta, spec, params, scfg.block_size, scfg.window_cap, **kw
+    def _coupled_apply_pack(self, pack, rigid, object_id, cache):
+        """Pack-space coupled substep: the fluid physics + fused reaction
+        output come from WCSPH._seg_apply_pack(with_reactions=True); the
+        body integration reads x/v/mass off the pack rows and writes the
+        rotated body particles back.  ``object_id`` is in the cache's
+        sorted order (constant within an R-group)."""
+        import jax.numpy as jnp
+
+        from tisph_tpu.models.rigid import integrate_rigid_fields
+        from tisph_tpu.ops.pallas import sweeps as ps
+
+        dim = self.spec.dim
+        pack, reactions = self._seg_apply_pack(pack, cache,
+                                               with_reactions=True)
+        x = jnp.stack([pack[ps._X + a] for a in range(dim)], axis=1)
+        v = jnp.stack([pack[ps._V + a] for a in range(dim)], axis=1)
+        x, v, rigid = integrate_rigid_fields(
+            x, v, pack[ps._M], object_id, pack[ps._BD] > 0.0,
+            rigid, reactions, self.params,
         )
-        d_velocity = jnp.where(keep_f[:, None], fr_blk, 0.0)
-        keep_b = plan.back_valid & state.boundary_mask
-        reactions = jnp.where(keep_b[:, None], fr_blk, 0.0)
-
-        state = F.advect(state, d_velocity, params)
-        state, rigid = integrate_rigid(state, rigid, reactions, params)
-        state = F.enforce_domain_boundary(state, params)
-        return state, rigid
+        for a in range(dim):
+            pack = (
+                pack.at[ps._X + a, :].set(x[:, a])
+                .at[ps._V + a, :].set(v[:, a])
+            )
+        return pack, rigid
 
     # -- public API over the pair ------------------------------------------
     def step_coupled(self, state: SimState, rigid: RigidState):
@@ -152,12 +151,33 @@ class WCSPHRigid(WCSPH):
         R = self._amortize_R()
         if getattr(self, "_coupled_roll_jit", None) is None:
             if R > 1:
+                # pack-carry R-groups (same scheme as SolverBase.rollout):
+                # the substep carry is (pack, RigidState); SimState syncs
+                # once per group
+                from tisph_tpu.ops.pallas import sweeps as psweeps
+
+                params = self.params
+
                 def _roll(carry, n):
-                    return self._amortized_groups(
-                        R, n, carry,
-                        lambda c: c[0], lambda c, s: (s, c[1]),
-                        lambda c2, cache: self._coupled_apply(c2, cache),
-                    )
+                    def outer(i, c):
+                        st, rigid = c
+                        st, cache = self._seg_build(st)
+                        pack = psweeps.pack_state(
+                            st.x, st.v, st.density, st.pressure, st.mass,
+                            st.volume, st.material, cache[2], params,
+                        )
+                        oid = st.object_id
+                        k = jnp.minimum(R, n - i * R)
+                        pack, rigid = jax.lax.fori_loop(
+                            0, k,
+                            lambda _, pr: self._coupled_apply_pack(
+                                pr[0], pr[1], oid, cache
+                            ),
+                            (pack, rigid),
+                        )
+                        return (self._seg_unpack(st, pack), rigid)
+
+                    return jax.lax.fori_loop(0, -(-n // R), outer, carry)
             else:
                 def _roll(carry, n):
                     return jax.lax.fori_loop(

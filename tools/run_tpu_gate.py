@@ -25,6 +25,7 @@ import sys
 SUITES = [
     ("pallas_kernels", ["tests/test_pallas.py"]),
     ("seg_kernels", ["tests/test_seg.py"]),
+    ("csr_bounds", ["tests/test_grid.py::test_csr_bounds_fast_matches_hist"]),
     ("rigid_buoyancy", ["tests/test_rigid_dynamics.py", "-m", "slow"]),
 ]
 
