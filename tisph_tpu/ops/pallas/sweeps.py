@@ -254,7 +254,7 @@ def _tile_math(mode, dim, h, k_sig, params, fast_math,
             inv_rho_j = 1.0 / jnp.maximum(rho_j, 1e-12)
         nu_b_j = (params.boundary_sigma * h * params.c_s * 0.5) * inv_rho_j
         react = ivals["bvol_i"] * (flm * (nu_b_j * dot_neg - p_rho2_j))
-        grad_coef = jnp.where(ivals["fl_i"], grad_coef, react)
+        grad_coef = jnp.where(ivals["fl_i"] > 0.0, grad_coef, react)
     coef = jnp.where(valid, grad_coef * gmag + (coh_i * flm) * w, 0.0)
     return geom.reduce_v(coef, acc_in)
 
@@ -317,7 +317,11 @@ def _ivals_acc0(mode, dim, block, k_sig, params, irow,
         "vi": [irow(_V + a) for a in range(dim)],
     }
     if mode == "force_react":
-        out["fl_i"] = (fl_lane > 0.0)[:, None]
+        # f32, not bool: a [:, None] minor-dim insert on an i1 vector is a
+        # tpu.reshape Mosaic cannot compile ("Insertion of minor dim that
+        # is not a no-op only supported for 32-bit types"); the consumer
+        # compares > 0 AFTER the broadcast instead
+        out["fl_i"] = fl_lane[:, None]
         out["bvol_i"] = (params.density0 * irow(_VOL))[:, None]
     grav = [
         float(params.gravity[a]) if mode != "force_react"

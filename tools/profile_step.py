@@ -168,6 +168,15 @@ def main():
         jax.jit(lambda p, r: ps.repack_eos(p, r, r)), (pack, rho), args.reps
     )
 
+    # dispatch-latency floor: a trivial jitted op on a step-sized array,
+    # timed the same way.  EVERY isolated phase number above includes ~this
+    # much per-dispatch overhead (tunneled runtimes: can be >1 ms), which
+    # the real step pays ONCE for the whole fused graph — so "sum of
+    # parts" systematically overcounts small phases by ~(num_phases x
+    # null).  Subtract it before attributing cost to a phase.
+    null = jax.jit(lambda r: r + 1.0)
+    t_null = timeit(null, (rho,), args.reps)
+
     occ = int(jax.device_get(state.occ_window))
     parts = {
         "sort": t_sort, **extra, "meta": t_meta, "pack": t_pack,
@@ -176,8 +185,10 @@ def main():
     }
     print(f"full step        : {t_full:8.2f} ms   ({n / t_full * 1000:.3g} pps)")
     for k, v in parts.items():
-        print(f"{k:17}: {v:8.2f} ms")
+        print(f"{k:17}: {v:8.2f} ms   (net {v - t_null:6.2f})")
     print(f"sum of parts     : {sum(parts.values()):8.2f} ms")
+    print(f"null dispatch    : {t_null:8.2f} ms   (per-dispatch overhead "
+          f"included in every row above)")
     print(f"occ_window (50 steps in): {occ} / cap {scfg.window_cap}")
 
 
