@@ -118,6 +118,42 @@ def test_seg_density_matches_bruteforce(dim):
 
 
 @pytest.mark.parametrize("dim", [2, 3])
+def test_seg_window_segmented_passes_match_single(dim, monkeypatch):
+    """Oversized window caps run as multiple VMEM-segment passes whose
+    outputs sum (soak regression: the adaptive regrow pushed window_cap to
+    11008 lanes, where the one-pass scratch exceeded Mosaic's 16 MiB
+    scoped-VMEM limit).  Pass q covers true lanes [q*S, (q+1)*S) of every
+    (block, row) range — an exact pair partition, so the segmented result
+    must equal the single pass up to fp32 reduction order (the lane
+    accumulators are reduced per pass)."""
+    scene = _scene(dim=dim)
+    solver, state_s, ids, plan, meta, pack = _seg_setup(scene, wcap=768)
+    spec, params, scfg = solver.spec, solver.params, solver.sweep_cfg
+
+    kw = dict(tile=scfg.tile, interpret=_INTERPRET)
+    rho1 = ps.density_sweep_seg(pack, meta, spec, params, scfg.block_size,
+                                scfg.window_cap, **kw)
+    rho, p = F.compute_pressures(rho1, params)
+    pack2 = ps.repack_eos(pack, rho, p)
+    dv1 = ps.force_sweep_seg(pack2, meta, spec, params, scfg.block_size,
+                             scfg.window_cap, **kw)
+
+    monkeypatch.setattr(ps, "_PASS_CAP_OVERRIDE", 256)
+    assert ps._seg_pass_lanes(spec.num_rows, ps.F_ROWS, 1, scfg.tile) == 256
+    rho_s = ps.density_sweep_seg(pack, meta, spec, params, scfg.block_size,
+                                 scfg.window_cap, **kw)
+    dv_s = ps.force_sweep_seg(pack2, meta, spec, params, scfg.block_size,
+                              scfg.window_cap, **kw)
+
+    valid = np.asarray(plan.back_valid)
+    np.testing.assert_allclose(np.asarray(rho_s)[valid],
+                               np.asarray(rho1)[valid], rtol=1e-6)
+    scale = np.abs(np.asarray(dv1)[valid]).max()
+    np.testing.assert_allclose(np.asarray(dv_s)[valid] / scale,
+                               np.asarray(dv1)[valid] / scale, atol=2e-6)
+
+
+@pytest.mark.parametrize("dim", [2, 3])
 @pytest.mark.parametrize("sub,block", [
     (2, 128),
     (4, 128),

@@ -52,6 +52,26 @@ _FLM = 15  # fl * m (precomputed: the force tile's fluid-mass coefficient;
 #            bd * rho0 * V falls out as _EFFM - _FLM)
 _LANE = 128  # window starts are quantised to this lane grid
 
+# Scoped-VMEM budget for the seg sweep's scratch (jbuf + cbuf); the Mosaic
+# limit is 16 MiB, 2 MiB left for the kernel's stack.  Window caps whose
+# scratch exceeds this run as multiple segment passes (_run_sweep_seg).
+_VMEM_BUDGET_BYTES = 14 << 20
+_PASS_CAP_OVERRIDE: int | None = None  # test hook: force tiny segment passes
+
+
+def _seg_pass_lanes(rows: int, f_rows: int, sub: int, tile: int) -> int:
+    """Largest tile-multiple per-pass window whose VMEM scratch fits the
+    budget: 4*f_rows*(2*rows*(S + 256) + sub*(rows*S + tile + 256)) bytes
+    (jbuf double buffer + compacted streams, both linear in the fetch
+    width S)."""
+    if _PASS_CAP_OVERRIDE is not None:
+        return max(tile, (_PASS_CAP_OVERRIDE // tile) * tile)
+    budget = _VMEM_BUDGET_BYTES // (4 * f_rows)
+    s = (budget - 2 * rows * 2 * _LANE - sub * (tile + 2 * _LANE)) // (
+        (2 + sub) * rows
+    )
+    return max(tile, (int(s) // tile) * tile)
+
 
 def pack_state(
     x: jax.Array,
@@ -769,6 +789,7 @@ def _seg_sweep_kernel(
     tile: int,
     fast_math: bool = True,
     sub: int = 1,
+    with_bias: bool = True,
 ):
     """Seg-layout sweep over anchor-confined logical blocks (grid.seg_plan:
     dense rows get their own z-trimmed blocks; sparse-row runs share
@@ -1045,11 +1066,13 @@ def _seg_sweep_kernel(
             # one (ss, T) -> (ss,) lane reduction per accumulator per
             # sub-slab (deferred from per-tile), plus the deferred k_sig
             # scale and the per-axis bias (gravity) that cannot ride in a
-            # lane-shaped acc
+            # lane-shaped acc.  ``with_bias=False`` on the q>0 passes of a
+            # window-segmented sweep (_run_sweep_seg): the pass outputs are
+            # SUMMED, so the per-i constant must ride exactly one pass.
             fin = _fin_scale(mode, k_sig, h)
             acc = tuple(
                 jnp.sum(a, axis=1) * fin
-                + (bias[c] if bias is not None else 0.0)
+                + (bias[c] if bias is not None and with_bias else 0.0)
                 for c, a in enumerate(acc)
             )
         sub_accs.append(acc)
@@ -1102,65 +1125,110 @@ def _run_sweep_seg(pack, meta: "SegMeta", mode, spec, params, block, window,
     # tile's dynamic slice must not read past the window plane.
     w_eff = min(window, n)
     w_fetch = -(-w_eff // tile) * tile
+    # VMEM feasibility: jbuf + cbuf scale linearly with the fetch width,
+    # and the adaptive window regrow (SolverBase.run) can push window_cap
+    # past what one pass fits in scoped VMEM (observed: the 10k-step soak's
+    # collapse spike grew the cap to 11008 lanes, where jbuf + cbuf =
+    # 18.5 MiB > the 16 MiB Mosaic limit).  Serve oversized caps with
+    # nseg SEGMENT PASSES: pass q shifts every per-row fetch base by
+    # q*S lanes and clips each (block, row) true-lane count to its
+    # [q*S, q*S + S) sub-range, and the pass outputs are summed — an exact
+    # partition of the pair set (intermediate passes have 128-multiple
+    # lane counts, so the compaction's tail-overrun lanes — which hold
+    # real next-segment candidates — occur only on the FINAL segment,
+    # where they are past the range end and inert as in the single pass).
+    # Gravity rides pass 0 only (with_bias).
+    s_pass = _seg_pass_lanes(rows, f_rows, sub, tile)
+    nseg = max(1, -(-w_fetch // s_pass))
+    if nseg > 1 and sub != 1:
+        # sub>1 stores sub-slab ranges relative to the BLOCK-level fetch
+        # base (cb can exceed a segment's fetch) — dead perf lever, not
+        # worth the segmented variant
+        raise NotImplementedError(
+            f"window_cap {window} needs {nseg} VMEM segments; sub>1 "
+            "supports single-pass windows only"
+        )
+    if nseg > 1:
+        w_fetch = s_pass
+        w_eff = min(w_eff, s_pass)
     # +256: the compaction's rolled double-chunk reads (aligned start
     # k*128, width 256, rotated by delta in [0, 128)) may overrun the
     # window end by up to two chunks — the extra fetched lanes are real
     # pack data or zero padding, never uninitialised VMEM
     w_dma = w_fetch + 2 * _LANE
-    padded = -(-n // _LANE) * _LANE + w_dma
+    padded = -(-n // _LANE) * _LANE + (nseg - 1) * w_fetch + w_dma
     pack_j = jnp.pad(pack, ((0, 0), (0, padded - n)))
-    kern = functools.partial(
-        _seg_sweep_kernel,
-        mode=mode, spec=spec, params=params,
-        block=block, window=w_eff, tile=tile,
-        fast_math=fast_math and not interpret,
-        sub=sub,
+    # true-lane-count columns: triple slot 2 of every (sub-slab, row) entry
+    tcols = np.asarray(
+        [3 * e + 2 for e in range(sub * rows)], dtype=np.int32
     )
-    out = pl.pallas_call(
-        kern,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(num_blocks,),
-            in_specs=[
-                pl.BlockSpec((8, 128), lambda k, iblk, wblk: (k // 8, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((f_rows, block),
-                             lambda k, iblk, wblk: (0, iblk[k]),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
-            # COMPACT output: block k writes compact rows [iblk[k]*block,
-            # +block) through its own-lane mask.  Equal-iblk runs are
-            # consecutive (seg_plan monotone seg_start + edge-padded iblk),
-            # so Mosaic keeps the revisited out tile in VMEM and the
-            # read-modify-write merge in the kernel is sound.
-            out_specs=pl.BlockSpec((block, out_cols),
-                                   lambda k, iblk, wblk: (iblk[k], 0),
-                                   memory_space=pltpu.VMEM),
-            scratch_shapes=[
-                pltpu.VMEM((2, rows, f_rows, w_dma), jnp.float32),
-                pltpu.SemaphoreType.DMA((2, rows)),
-                # One compacted stream region per sub-slab, at dynamic
-                # 128-aligned bases base_s[s+1] = base_s[s] +
-                # ceil128(nl_s) + tile + 128.  Per stream: true lanes
-                # nl_s <= rows * window (each (s, r) range is clipped to
-                # the block fetch), the masked double-chunk merge writes
-                # reach at most nl_s + 255 < ceil128(nl_s) + tile + 128
-                # past the base, the finite tail pre-fill covers
-                # [floor128(nl_s), +tile+128), and the tile loop never
-                # reads past ceil_tile(nl_s) — all within the next base.
-                pltpu.VMEM(
-                    (f_rows,
-                     sub * (rows * w_fetch + tile + 2 * _LANE)),
-                    jnp.float32,
-                ),
-            ],
-        ),
-        out_shape=jax.ShapeDtypeStruct(
-            (-(-n // block) * block, out_cols), jnp.float32
-        ),
-        interpret=interpret,
-    )(meta.iblk, meta.wblk, meta.meta, pack_j, pack_j)
+
+    def one_pass(q: int):
+        if nseg == 1:
+            meta_q, wblk_q = meta.meta, meta.wblk
+        else:
+            mm = meta.meta
+            meta_q = mm.at[:, tcols].set(
+                jnp.clip(mm[:, tcols] - q * w_fetch, 0, w_fetch)
+            )
+            wblk_q = meta.wblk + q * (w_fetch // _LANE)
+        kern = functools.partial(
+            _seg_sweep_kernel,
+            mode=mode, spec=spec, params=params,
+            block=block, window=w_eff, tile=tile,
+            fast_math=fast_math and not interpret,
+            sub=sub, with_bias=(q == 0),
+        )
+        return pl.pallas_call(
+            kern,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(num_blocks,),
+                in_specs=[
+                    pl.BlockSpec((8, 128), lambda k, iblk, wblk: (k // 8, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((f_rows, block),
+                                 lambda k, iblk, wblk: (0, iblk[k]),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                ],
+                # COMPACT output: block k writes compact rows [iblk[k]*block,
+                # +block) through its own-lane mask.  Equal-iblk runs are
+                # consecutive (seg_plan monotone seg_start + edge-padded
+                # iblk), so Mosaic keeps the revisited out tile in VMEM and
+                # the read-modify-write merge in the kernel is sound.
+                out_specs=pl.BlockSpec((block, out_cols),
+                                       lambda k, iblk, wblk: (iblk[k], 0),
+                                       memory_space=pltpu.VMEM),
+                scratch_shapes=[
+                    pltpu.VMEM((2, rows, f_rows, w_dma), jnp.float32),
+                    pltpu.SemaphoreType.DMA((2, rows)),
+                    # One compacted stream region per sub-slab, at dynamic
+                    # 128-aligned bases base_s[s+1] = base_s[s] +
+                    # ceil128(nl_s) + tile + 128.  Per stream: true lanes
+                    # nl_s <= rows * window (each (s, r) range is clipped to
+                    # the block fetch), the masked double-chunk merge writes
+                    # reach at most nl_s + 255 < ceil128(nl_s) + tile + 128
+                    # past the base, the finite tail pre-fill covers
+                    # [floor128(nl_s), +tile+128), and the tile loop never
+                    # reads past ceil_tile(nl_s) — all within the next base.
+                    pltpu.VMEM(
+                        (f_rows,
+                         sub * (rows * w_fetch + tile + 2 * _LANE)),
+                        jnp.float32,
+                    ),
+                ],
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (-(-n // block) * block, out_cols), jnp.float32
+            ),
+            interpret=interpret,
+        )(meta.iblk, wblk_q, meta_q, pack_j, pack_j)
+
+    out = one_pass(0)
+    for q in range(1, nseg):
+        # non-own lanes sum pass garbage; callers mask them (back_valid)
+        out = out + one_pass(q)
     return out[:n]
 
 
