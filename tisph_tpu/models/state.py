@@ -70,6 +70,15 @@ class SimState:
     occ_halo: jax.Array = dataclasses.field(
         default_factory=lambda: np.zeros((), np.int32)
     )
+    # () i32 — sharded solver: count of rebuilds since the last reset where
+    # the edge-exchange resort's seam guard tripped and the step fell back
+    # to the stock distributed sort (parallel/domain.py::_exchange_resort).
+    # Nonzero occasionally is fine (first rebuild after bind, emitter
+    # activations); nonzero EVERY rebuild means the edge depth is too
+    # shallow for the flow and the resort is paying all_gather prices.
+    occ_resort: jax.Array = dataclasses.field(
+        default_factory=lambda: np.zeros((), np.int32)
+    )
 
     @property
     def capacity(self) -> int:
@@ -182,4 +191,5 @@ def state_to_host(state: SimState) -> dict[str, np.ndarray]:
     host.pop("occ_window", None)  # transient diagnostics, not state
     host.pop("occ_rowpad", None)
     host.pop("occ_halo", None)
+    host.pop("occ_resort", None)
     return {k: np.asarray(a[:n]) for k, a in host.items()} | {"num_active": np.asarray(n)}

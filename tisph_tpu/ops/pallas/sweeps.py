@@ -52,10 +52,15 @@ _FLM = 15  # fl * m (precomputed: the force tile's fluid-mass coefficient;
 #            bd * rho0 * V falls out as _EFFM - _FLM)
 _LANE = 128  # window starts are quantised to this lane grid
 
-# Scoped-VMEM budget for the seg sweep's scratch (jbuf + cbuf); the Mosaic
-# limit is 16 MiB, 2 MiB left for the kernel's stack.  Window caps whose
-# scratch exceeds this run as multiple segment passes (_run_sweep_seg).
-_VMEM_BUDGET_BYTES = 14 << 20
+# Scoped-VMEM budget for the seg sweep's DECLARED scratch (jbuf + cbuf);
+# the Mosaic scoped limit is 16 MiB shared with the kernel's stack
+# temporaries, which are NOT in the declared shapes and scale with the
+# fetch width (measured: at s_pass=8192/3D the declared scratch is
+# 13.8 MiB but the scoped allocation hit 16.11 MiB — ~2.3 MiB of stack).
+# 12 MiB keeps declared + width-scaled stack ~2 MiB under the limit.
+# Window caps whose scratch exceeds this run as multiple segment passes
+# (_run_sweep_seg).
+_VMEM_BUDGET_BYTES = 12 << 20
 _PASS_CAP_OVERRIDE: int | None = None  # test hook: force tiny segment passes
 
 

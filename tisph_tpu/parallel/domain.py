@@ -4,11 +4,16 @@ Design (see package docstring): the globally cell-sorted particle array is
 sharded evenly over the mesh axis; shards are spatial slabs because flat
 cell ids are x-major.  One step =
 
-  1. [global, SPMD]  flat cell ids -> multi-operand ``lax.sort`` of the
-     whole SoA (XLA's distributed sort; this both rebuilds the neighbor
-     structure AND migrates particles between shards — the distributed
-     generalisation of the reference's counting-sort resort,
-     partice_systemv4.py:206-258)
+  1. [global, SPMD]  flat cell ids -> distributed resort of the whole SoA
+     (this both rebuilds the neighbor structure AND migrates particles
+     between shards — the distributed generalisation of the reference's
+     counting-sort resort, partice_systemv4.py:206-258).  Default path is
+     the edge-exchange resort (``_exchange_resort``: depth-E edge
+     ppermutes + per-shard local sort + fixed cut, O(E) ICI bytes/shard),
+     which is exact whenever no particle's global rank moved more than E
+     rows since the last rebuild and falls back to the stock multi-operand
+     ``lax.sort`` (O(N) all_gather of the key array) behind a
+     seam-monotonicity guard that provably catches every violation.
   2. [shard_map]     ppermute halo exchange of the sorted array's edge
      slices (one fixed-width slice to each neighbor over ICI)
   3. [shard_map]     blocked neighbor sweeps: local i-particles against the
@@ -83,6 +88,8 @@ class ShardedWCSPH(SolverBase):
         params: SolverParams | None = None,
         sweep_cfg: SweepConfig | None = None,
         halo: int | None = None,
+        resort: str = "exchange",
+        resort_edge: int | None = None,
     ):
         super().__init__(scene, compat=compat, params=params, sweep_cfg=sweep_cfg)
         self.mesh = mesh
@@ -90,6 +97,14 @@ class ShardedWCSPH(SolverBase):
         self.n_shards = mesh.devices.size
         self.halo = halo  # defaults to window_cap at bind
         self.halo_path: str | None = None  # 'ppermute' | 'all_gather' (set at trace)
+        if resort not in ("exchange", "global"):
+            raise ValueError(f"resort must be 'exchange' or 'global', got {resort!r}")
+        # 'exchange': edge-exchange resort with stock-sort fallback on the
+        # seam guard (the scaling fix for XLA's all-gathering distributed
+        # sort — docs/design.md 1e9 bridge); 'global': stock lax.sort only.
+        self.resort = resort
+        # edge depth in rows (None = auto from the grid geometry at trace)
+        self.resort_edge = resort_edge
         self._sharding = NamedSharding(mesh, P(self.axis))
         self._replicated = NamedSharding(mesh, P())
 
@@ -178,6 +193,15 @@ class ShardedWCSPH(SolverBase):
         if self.halo % self.sweep_cfg.block_size:
             b = self.sweep_cfg.block_size
             self.halo = -(-self.halo // b) * b
+        if self.resort == "exchange" and self.n_shards > 1:
+            # edge depth default = the halo depth: both bound "rows within
+            # ~a cell-width of a seam", which is the scale of inter-rebuild
+            # rank shift (crossing one x-cell boundary re-ranks a particle
+            # past at most ~one x-column of particles); the seam guard +
+            # run()'s adaptive deepening cover flows that beat the bound
+            e = self.resort_edge if self.resort_edge is not None else self.halo
+            e = max(128, -(-int(e) // 128) * 128)
+            self.resort_edge = int(min(e, self._shard_rows))
         return self.shard_state(state)
 
     def shard_state(self, state: SimState) -> SimState:
@@ -291,15 +315,10 @@ class ShardedWCSPH(SolverBase):
             halo_flag = jax.lax.pmax(halo_flag, ax)
         return halo_flag
 
-    def _global_resort(self, state: SimState):
-        """Phase A: distributed multi-operand sort by flat cell id (= the
-        resort AND the inter-shard particle migration in one collective
-        op).  Returns (sorted state with the particle-axis sharding
-        re-constrained, sorted_ids)."""
-        spec = self.spec
-        coords = gridops.cell_coords(state.x, spec)
-        ids = gridops.flat_cell_ids(coords, state.material, spec)
-        # multi-operand sort: key = ids, payload = every per-particle column
+    def _sort_payload(self, state: SimState):
+        """Flatten the per-particle SoA into 1-D sort-operand columns.
+        Returns (cols, layout) where layout maps each column back to its
+        (field name, component) slot."""
         cols: list[jax.Array] = []
         layout: list[tuple[str, int]] = []
 
@@ -321,24 +340,157 @@ class ShardedWCSPH(SolverBase):
         add("material", state.material)
         add("color", state.color)
         add("object_id", state.object_id)
-        sorted_all = jax.lax.sort((ids, *cols), num_keys=1, is_stable=True)
-        sorted_ids = sorted_all[0]
+        return cols, layout
+
+    def _payload_to_state(self, state: SimState, sorted_cols, layout) -> SimState:
+        """Rebuild the SoA fields from sorted payload columns and re-constrain
+        the particle-axis sharding."""
         rebuilt: dict[str, list[jax.Array]] = {}
-        for (name, c), col in zip(layout, sorted_all[1:]):
+        for (name, c), col in zip(layout, sorted_cols):
             rebuilt.setdefault(name, []).append(col)
         new_fields = {
             name: (cs[0] if len(cs) == 1 else jnp.stack(cs, axis=1))
             for name, cs in rebuilt.items()
         }
         state = dataclasses.replace(state, **new_fields)
-        # keep the particle axis evenly sharded after the sort
-        state = jax.tree.map(
+        return jax.tree.map(
             lambda a: jax.lax.with_sharding_constraint(
                 a, self._sharding if getattr(a, "ndim", 0) >= 1 else self._replicated
             ),
             state,
         )
-        sorted_ids = jax.lax.with_sharding_constraint(sorted_ids, self._sharding)
+
+    def _resort(self, state: SimState):
+        """Phase A dispatch: rebuild the global cell-sorted order (which is
+        also the inter-shard particle migration).  'exchange' = the edge-
+        exchange resort with a guarded stock-sort fallback (O(edge) ICI bytes
+        per shard instead of the stock distributed sort's full-array
+        all_gather); 'global' = stock ``lax.sort`` only."""
+        if self.resort == "exchange" and self.n_shards > 1:
+            return self._exchange_resort(state)
+        return self._global_resort(state)
+
+    def _global_resort(self, state: SimState):
+        """Stock distributed resort: multi-operand ``lax.sort`` by flat cell
+        id over the sharded arrays (XLA lowers this to an all_gather of the
+        key array plus payload redistribution).  Returns (sorted state with
+        the particle-axis sharding re-constrained, sorted_ids)."""
+        spec = self.spec
+        coords = gridops.cell_coords(state.x, spec)
+        ids = gridops.flat_cell_ids(coords, state.material, spec)
+        cols, layout = self._sort_payload(state)
+        sorted_all = jax.lax.sort((ids, *cols), num_keys=1, is_stable=True)
+        state = self._payload_to_state(state, sorted_all[1:], layout)
+        sorted_ids = jax.lax.with_sharding_constraint(sorted_all[0], self._sharding)
+        return state, sorted_ids
+
+    def _exchange_resort(self, state: SimState):
+        """Edge-exchange distributed resort (the 1e9-bridge scaling fix for
+        XLA's all-gathering distributed sort — docs/design.md).
+
+        The array is already globally sorted from the previous rebuild and
+        particles move well under a cell per substep, so each particle's
+        GLOBAL RANK shifts by a bounded number of rows between rebuilds.
+        When that bound is ``E = self.resort_edge``:
+
+          1. each shard ppermutes its edge slices to its ring neighbors
+             (left neighbor's last E rows, right neighbor's first E rows —
+             2 ppermutes of (E, cols) bytes, independent of N),
+          2. locally sorts the extended [prev-edge ∥ own ∥ next-edge] array
+             of rps+2E rows by the UNIQUE total key (cell id, previous
+             global index),
+          3. keeps extended ranks [E, E+rps).
+
+        Exactness: a particle destined for global rank q ∈ [s·rps,
+        (s+1)·rps) has every global predecessor w (rank(w) < q) inside
+        shard s's extension except exactly the s·rps − E rows with previous
+        position < s·rps − E (|rank−pos| ≤ E pins them all before q), so its
+        local extended rank is q − s·rps + E — the fixed cut recovers the
+        exact stable global sort (missing edges at the mesh ends are filled
+        with −1 / i32max key sentinels so the cut stays uniform).
+
+        Guard: the bound E can be violated (first rebuild after bind, blast
+        waves).  Each shard checks the seam against its left neighbor's last
+        kept key; all seams strictly increasing ⟹ the concatenation is N
+        strictly-increasing copies of input keys ⟹ a permutation ⟹ THE
+        stable sort.  Any violation therefore trips some seam (fixed shard
+        sizes: a lost row forces a duplicated row, and a duplicate's two
+        copies bound a non-increasing seam); trips select the stock
+        ``lax.sort`` result via ``lax.cond`` and count in ``occ_resort``
+        (run() deepens the edge when trips persist)."""
+        spec, ax = self.spec, self.axis
+        d, rps, E = self.n_shards, self._shard_rows, self.resort_edge
+        coords = gridops.cell_coords(state.x, spec)
+        ids = gridops.flat_cell_ids(coords, state.material, spec)
+        cols, layout = self._sort_payload(state)
+        n_ops = 1 + len(cols)
+        fwd = [(i, i + 1) for i in range(d - 1)]
+        bwd = [(i + 1, i) for i in range(d - 1)]
+        i32max = jnp.int32(np.iinfo(np.int32).max)
+        axis_spec = P(ax)
+
+        @partial(
+            jax.shard_map,
+            mesh=self.mesh,
+            in_specs=(axis_spec,) * n_ops,
+            out_specs=(axis_spec,) * n_ops + (P(),),
+            check_vma=False,
+        )
+        def exchange_shard(ids_l, *cols_l):
+            idx = jax.lax.axis_index(ax)
+            src_l = idx * rps + jax.lax.iota(jnp.int32, rps)
+            chans = [ids_l, src_l, *cols_l]
+            dts = [c.dtype for c in chans]
+
+            def f32(c):  # lossless bitcast so edges ride ONE ppermute each
+                return (c if c.dtype == jnp.float32
+                        else jax.lax.bitcast_convert_type(c, jnp.float32))
+
+            tail = jnp.stack([f32(c[-E:]) for c in chans], axis=1)
+            head = jnp.stack([f32(c[:E]) for c in chans], axis=1)
+            left = jax.lax.ppermute(tail, ax, fwd)   # left neighbor's last E
+            right = jax.lax.ppermute(head, ax, bwd)  # right neighbor's first E
+            ext = []
+            for k, dt in enumerate(dts):
+                lc, rc = left[:, k], right[:, k]
+                if dt != jnp.float32:
+                    lc = jax.lax.bitcast_convert_type(lc, dt)
+                    rc = jax.lax.bitcast_convert_type(rc, dt)
+                if k == 0:  # key sentinels for the mesh-end missing edges
+                    lc = jnp.where(idx > 0, lc, jnp.int32(-1))
+                    rc = jnp.where(idx < d - 1, rc, i32max)
+                ext.append(jnp.concatenate([lc, chans[k], rc], axis=0))
+            # total key (cell id, prev global index) is unique over real
+            # rows, so the unstable sort is deterministic; the only equal
+            # keys are the discarded sentinel fills
+            s = jax.lax.sort(tuple(ext), num_keys=2, is_stable=False)
+            kept = [a[E:E + rps] for a in s]
+            k_ids, k_src = kept[0], kept[1]
+            last = jnp.stack([k_ids[-1], k_src[-1]])
+            prev = jax.lax.ppermute(last, ax, fwd)
+            seam_ok = (
+                (idx == 0)
+                | (prev[0] < k_ids[0])
+                | ((prev[0] == k_ids[0]) & (prev[1] < k_src[0]))
+            )
+            bad = jax.lax.pmax((~seam_ok).astype(jnp.int32), ax)
+            return (k_ids, *kept[2:], bad)
+
+        *exch, bad = exchange_shard(ids, *cols)
+        exch = tuple(exch)
+        sorted_all = jax.lax.cond(
+            bad > 0,
+            lambda ops: jax.lax.sort(ops, num_keys=1, is_stable=True),
+            lambda ops: exch,
+            (ids, *cols),
+        )
+        state = dataclasses.replace(
+            state,
+            occ_resort=jnp.asarray(state.occ_resort, jnp.int32)
+            + (bad > 0).astype(jnp.int32),
+        )
+        state = self._payload_to_state(state, sorted_all[1:], layout)
+        sorted_ids = jax.lax.with_sharding_constraint(sorted_all[0], self._sharding)
         return state, sorted_ids
 
     # ------------------------------------------------------------------
@@ -360,7 +512,7 @@ class ShardedWCSPH(SolverBase):
         block_cap = scfg.pad_capacity // block
         axis_spec = P(ax)
 
-        state, sorted_ids = self._global_resort(state)
+        state, sorted_ids = self._resort(state)
 
         @partial(
             jax.shard_map,
@@ -531,7 +683,7 @@ class ShardedWCSPH(SolverBase):
         hops = self._hops()
         axis_spec = P(ax)
 
-        state, sorted_ids = self._global_resort(state)
+        state, sorted_ids = self._resort(state)
 
         dens_k = F.density_kernel(params, spec)
         force_k = F.force_kernel(params, spec)
@@ -675,6 +827,24 @@ class ShardedWCSPH(SolverBase):
         for name in [k for k in vars(self) if k.endswith("_jit")]:
             setattr(self, name, None)
 
+    def regrow_resort_edge(self, new_edge: int | None = None) -> None:
+        """Deepen the exchange resort's edge depth (default: double) and drop
+        compiled artifacts.  Called by :meth:`run` when ``occ_resort`` shows
+        the seam guard tripping on most rebuilds — the flow's inter-rebuild
+        rank shift beat the edge depth, so every resort is paying the stock
+        distributed sort's all_gather on top of the wasted exchange."""
+        if self.resort != "exchange" or self.n_shards <= 1:
+            return
+        e = int(new_edge if new_edge is not None
+                else (self.resort_edge or 128) * 2)
+        e = max(128, -(-e // 128) * 128)
+        e = min(e, self._shard_rows)
+        if e == self.resort_edge:
+            return
+        self.resort_edge = e
+        for name in [k for k in vars(self) if k.endswith("_jit")]:
+            setattr(self, name, None)
+
     def run(
         self,
         state: SimState,
@@ -720,11 +890,28 @@ class ShardedWCSPH(SolverBase):
                         print(f"[tisph] shard seg block occupancy {pad_occ} "
                               f"over cap {pad_cap}; re-capacitated to "
                               f"{self.sweep_cfg.pad_capacity} (recompile)")
+            if self.resort == "exchange" and self.n_shards > 1:
+                trips = int(jax.device_get(state.occ_resort))
+                rr = cfg_s.resort_every if (
+                    cfg_s is not None and cfg_s.layout == "seg"
+                ) else 1
+                rebuilds = max(1, k // max(1, rr))
+                # occasional trips (first rebuild, emitter bursts) are the
+                # fallback doing its job; trips on most rebuilds mean the
+                # edge depth lost to the flow — deepen it
+                if trips > rebuilds // 2:
+                    old = self.resort_edge
+                    self.regrow_resort_edge()
+                    if verbose and self.resort_edge != old:
+                        print(f"[tisph] exchange-resort seam guard tripped "
+                              f"{trips}/{rebuilds} rebuilds at edge {old}; "
+                              f"deepened to {self.resort_edge} (recompile)")
             state = dataclasses.replace(
                 state,
                 occ_window=jnp.zeros((), jnp.int32),
                 occ_halo=jnp.zeros((), jnp.int32),
                 occ_rowpad=jnp.zeros((), jnp.int32),
+                occ_resort=jnp.zeros((), jnp.int32),
             )
         return state
 
@@ -757,6 +944,7 @@ class ShardedWCSPH(SolverBase):
                     "max_run_length": jnp.asarray(st.occ_window, jnp.int32),
                     "occ_halo": jnp.asarray(st.occ_halo, jnp.int32),
                     "seg_pad_occ": jnp.asarray(st.occ_rowpad, jnp.int32),
+                    "resort_fallbacks": jnp.asarray(st.occ_resort, jnp.int32),
                 }
 
             self._metrics_jit = _metrics
@@ -766,4 +954,5 @@ class ShardedWCSPH(SolverBase):
         out["seg_pad_cap"] = jnp.asarray(
             cfg.pad_capacity if cfg is not None else 0, jnp.int32
         )
+        out["resort_edge"] = jnp.asarray(self.resort_edge or 0, jnp.int32)
         return out

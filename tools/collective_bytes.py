@@ -46,24 +46,102 @@ def _shape_bytes(text: str) -> int:
     return total
 
 
-def collective_bytes(hlo_text: str) -> dict[str, dict[str, float]]:
-    """Per-collective-kind {count, bytes} from optimized HLO text.
+_COMP_START_RE = re.compile(r"^(ENTRY\s+)?%?([\w.\-]+)\s*\(")
+_COND_REF_RES = (
+    re.compile(r"true_computation=%?([\w.\-]+)"),
+    re.compile(r"false_computation=%?([\w.\-]+)"),
+)
+_COND_BRANCHES_RE = re.compile(r"branch_computations=\{([^}]*)\}")
+_UNCOND_REF_RES = (
+    re.compile(r"to_apply=%?([\w.\-]+)"),
+    re.compile(r"body=%?([\w.\-]+)"),
+    re.compile(r"condition=%?([\w.\-]+)"),
+    re.compile(r"calls=%?([\w.\-]+)"),
+)
+_COLLECTIVE_RE = re.compile(
+    r"%?[\w.\-]+ = (.+?) (collective-permute|all-to-all|"
+    r"all-gather|all-reduce|reduce-scatter)"
+)
+
+
+def _parse_computations(hlo_text: str):
+    """HLO module text -> (entry name, {name: body lines})."""
+    comps: dict[str, list[str]] = {}
+    entry = None
+    cur: list[str] | None = None
+    for line in hlo_text.splitlines():
+        s = line.strip()
+        if cur is None:
+            # a computation header is the only `{`-terminated line outside a
+            # body; params may nest parens (tuple types), so match loosely
+            if s.endswith("{") and " = " not in s:
+                m = _COMP_START_RE.match(s)
+                if m:
+                    name = m.group(2)
+                    comps[name] = cur = []
+                    if m.group(1):
+                        entry = name
+            continue
+        if s == "}" or s.startswith("} "):
+            cur = None
+        else:
+            cur.append(s)
+    return entry, comps
+
+
+def collective_bytes(hlo_text: str) -> dict[str, dict[str, dict[str, float]]]:
+    """Per-collective-kind {count, bytes} from optimized HLO text, split
+    into the UNCONDITIONALLY executed program ('steady') and computations
+    reachable only through ``conditional`` branches ('conditional' — e.g.
+    the exchange resort's guarded stock-sort fallback, which executes only
+    on seam-guard trips and must not be billed to the steady-state step).
 
     Bytes = the op's OUTPUT bytes (per device, since SPMD HLO is the
     per-device program) — for permute/gather that is what crosses the
     link; all-reduce moves ~2x in a ring, noted by the caller."""
-    out: dict[str, dict[str, float]] = {}
-    for line in hlo_text.splitlines():
-        line = line.strip()
-        m = re.match(r"%?[\w.\-]+ = (.+?) (collective-permute|all-to-all|"
-                     r"all-gather|all-reduce|reduce-scatter)", line)
-        if not m:
+    entry, comps = _parse_computations(hlo_text)
+
+    def refs(body, patterns):
+        out = set()
+        for line in body:
+            for pat in patterns:
+                for mm in pat.finditer(line):
+                    out.add(mm.group(1))
+            if patterns is _COND_REF_RES:
+                for mm in _COND_BRANCHES_RE.finditer(line):
+                    for nm in mm.group(1).split(","):
+                        out.add(nm.strip().lstrip("%"))
+        return {r for r in out if r in comps}
+
+    # closure of unconditional reachability from the entry
+    steady: set[str] = set()
+    stack = [entry] if entry in comps else list(comps)[-1:]
+    while stack:
+        c = stack.pop()
+        if c in steady:
             continue
-        kind = m.group(2)
-        b = _shape_bytes(m.group(1))
-        d = out.setdefault(kind, {"count": 0, "bytes": 0})
-        d["count"] += 1
-        d["bytes"] += b
+        steady.add(c)
+        stack.extend(refs(comps[c], _UNCOND_REF_RES))
+    # everything else reachable (through conditional branches) is 'conditional'
+    reachable: set[str] = set(steady)
+    stack = list(steady)
+    while stack:
+        c = stack.pop()
+        for r in refs(comps[c], _COND_REF_RES) | refs(comps[c], _UNCOND_REF_RES):
+            if r not in reachable:
+                reachable.add(r)
+                stack.append(r)
+
+    out = {"steady": {}, "conditional": {}}
+    for name in reachable:
+        bucket = out["steady"] if name in steady else out["conditional"]
+        for line in comps[name]:
+            m = _COLLECTIVE_RE.match(line)
+            if not m:
+                continue
+            d = bucket.setdefault(m.group(2), {"count": 0, "bytes": 0})
+            d["count"] += 1
+            d["bytes"] += _shape_bytes(m.group(1))
     return out
 
 
@@ -101,45 +179,54 @@ def main():
         "rigidBodies": [],
     })
     mesh = make_mesh(args.devices)
-    cfg = SweepConfig(
-        impl="pallas", block_size=128, window_cap=1152, tile=128,
-        interpret=True, layout="seg", resort_every=args.resort,
-    )
-    solver = ShardedWCSPH(scene, mesh, sweep_cfg=cfg)
-    state = solver.bind(tt.build_state(scene))
-    n = int(jax.device_get(state.num_active))
-    hops = solver._hops()
-    n_per = state.capacity // args.devices
+    res = {"devices": args.devices}
+    for mode in ("global", "exchange"):
+        cfg = SweepConfig(
+            impl="pallas", block_size=128, window_cap=1152, tile=128,
+            interpret=True, layout="seg", resort_every=args.resort,
+        )
+        solver = ShardedWCSPH(scene, mesh, sweep_cfg=cfg, resort=mode)
+        state = solver.bind(tt.build_state(scene))
+        n = int(jax.device_get(state.num_active))
+        hops = solver._hops()
+        n_per = state.capacity // args.devices
 
-    def report(name, fn, nsub):
-        compiled = jax.jit(fn).lower(state).compile()
-        cb = collective_bytes(compiled.as_text())
-        total = sum(d["bytes"] for d in cb.values())
-        print(f"-- {name} (per device, per dispatch):")
-        for k, d in sorted(cb.items()):
-            print(f"   {k:<20s} x{int(d['count']):3d}  "
-                  f"{d['bytes'] / 1e6:8.3f} MB")
-        print(f"   TOTAL {total / 1e6:.3f} MB  "
-              f"(per substep: {total / 1e6 / nsub:.3f} MB)")
-        return {k: d["bytes"] for k, d in cb.items()} | {"total": total}
+        def report(name, fn, nsub):
+            compiled = jax.jit(fn).lower(state).compile()
+            cb = collective_bytes(compiled.as_text())
+            steady = sum(d["bytes"] for d in cb["steady"].values())
+            fallback = sum(d["bytes"] for d in cb["conditional"].values())
+            print(f"-- {name} (per device, per dispatch):")
+            for k, d in sorted(cb["steady"].items()):
+                print(f"   {k:<20s} x{int(d['count']):3d}  "
+                      f"{d['bytes'] / 1e6:8.3f} MB")
+            print(f"   TOTAL {steady / 1e6:.3f} MB  "
+                  f"(per substep: {steady / 1e6 / nsub:.3f} MB; "
+                  f"+{fallback / 1e6:.3f} MB in guarded fallback branches)")
+            return ({k: d["bytes"] for k, d in cb["steady"].items()}
+                    | {"total": steady, "fallback_branch": fallback})
 
-    print(f"devices={args.devices}  particles={n}  capacity={state.capacity}"
-          f"  per-shard={n_per}  halo={solver.halo} rows  hops={hops}")
-    res = {
-        "devices": args.devices, "particles": n,
-        "per_shard": n_per, "halo_rows": int(solver.halo), "hops": int(hops),
-    }
-    res["step"] = report("full step (R=1)", solver._step_fn, 1)
-    R = args.resort
-    if R > 1:
-        def group(s):
-            s, cache = solver._seg_build(s)
-            for _ in range(R):
-                s = solver._seg_apply(s, cache)
-            return s
+        print(f"== resort={mode}: devices={args.devices}  particles={n}  "
+              f"capacity={state.capacity}  per-shard={n_per}  "
+              f"halo={solver.halo} rows  hops={hops}  "
+              f"edge={solver.resort_edge}")
+        rm = {
+            "particles": n, "per_shard": n_per,
+            "halo_rows": int(solver.halo), "hops": int(hops),
+            "resort_edge": int(solver.resort_edge or 0),
+        }
+        rm["step"] = report("full step (R=1)", solver._step_fn, 1)
+        R = args.resort
+        if R > 1:
+            def group(s):
+                s, cache = solver._seg_build(s)
+                for _ in range(R):
+                    s = solver._seg_apply(s, cache)
+                return s
 
-        res[f"group_R{R}"] = report(f"R={R} group (build + {R} substeps)",
-                                    group, R)
+            rm[f"group_R{R}"] = report(
+                f"R={R} group (build + {R} substeps)", group, R)
+        res[mode] = rm
     print(json.dumps(res))
 
 
