@@ -284,6 +284,60 @@ def test_seg_force_react_matches_separate_sweeps(tmp_path):
                                   np.asarray(rx)[valid & bound])
 
 
+def test_seg_bvol_active_block_skip_matches_full(tmp_path):
+    """The bvol sweep with per-block boundary-occupancy skip flags must
+    equal the unskipped sweep BITWISE on every consumed row (boundary &
+    back_valid), and the flags must actually skip some all-fluid blocks
+    on a mostly-fluid scene."""
+    import json
+
+    from tisph_tpu.geometry.mesh import box_mesh, save_obj
+
+    mesh_path = tmp_path / "box.obj"
+    save_obj(box_mesh((0.35, 0.5, 0.35), (0.6, 0.75, 0.6)), mesh_path)
+    raw = {
+        "configuration": {
+            "dim": 3, "domainStart": [0.0] * 3, "domainEnd": [1.0] * 3,
+            "particleRadius": 0.04, "density0": 1000,
+            "gravitation": [0.0, -9.81, 0.0], "c_s": 40.0,
+        },
+        "rigidBodies": [
+            {"geometryFile": str(mesh_path), "scale": [1, 1, 1],
+             "translation": [0, 0, 0], "rotationAngle": 0,
+             "rotationAxis": [0, 1, 0], "velocity": [0, 0, 0],
+             "density": 500.0, "color": [150, 150, 150],
+             "isDynamic": True}
+        ],
+        "fluidBlocks": [
+            {"start": [0.15] * 3, "end": [0.6, 0.55, 0.6],
+             "velocity": [0.1, -0.4, 0.2], "density": 1000.0,
+             "color": [50, 100, 200]}
+        ],
+    }
+    p = tmp_path / "scene.json"
+    p.write_text(json.dumps(raw))
+    scene = tt.load_scene(p)
+    solver, state_s, ids, plan, meta, pack = _seg_setup(scene)
+    spec, params, scfg = solver.spec, solver.params, solver.sweep_cfg
+
+    kw = dict(tile=scfg.tile, interpret=_INTERPRET)
+    full = ps.bvol_sweep_seg(pack, meta, spec, params, scfg.block_size,
+                             scfg.window_cap, **kw)
+    active = ps.bvol_active_blocks(pack, meta, scfg.block_size)
+    act = np.asarray(active)
+    assert act.any(), "no boundary-holding blocks found"
+    assert (act == 0).any(), "no skippable all-fluid blocks in the scene"
+    skipped = ps.bvol_sweep_seg(pack, meta, spec, params, scfg.block_size,
+                                scfg.window_cap, active=active, **kw)
+    valid = np.asarray(plan.back_valid)
+    bound = np.asarray(state_s.material) == 0
+    assert (bound & valid).any()
+    np.testing.assert_array_equal(
+        np.asarray(skipped)[valid & bound], np.asarray(full)[valid & bound],
+        err_msg="bvol block skip changed a consumed boundary row",
+    )
+
+
 def test_seg_step_matches_blocked_trajectory():
     """Full jitted seg steps track the blocked solver to fp32
     reduction-order tolerance over a few steps."""

@@ -218,9 +218,13 @@ class WCSPH(SolverBase):
         if self.boundary_mode == "per_step":
             # Akinci boundary volumes on current positions
             # (sph_basev2.py:195-201, 212): delta sweep -> V = 1/delta ->
-            # refresh the volume-derived rows
+            # refresh the volume-derived rows.  Only blocks whose i-slab
+            # holds a boundary row run (exact: the refresh masks with
+            # bd & back_valid, so all-fluid blocks' outputs are never
+            # consumed) — rigid scenes are ~99% fluid rows
             delta_c = ps.bvol_sweep_seg(
                 pack, meta, spec, params, scfg.block_size, scfg.window_cap,
+                active=ps.bvol_active_blocks(pack, meta, scfg.block_size),
                 **kw
             )
             bd = pack[ps._BD] > 0.0

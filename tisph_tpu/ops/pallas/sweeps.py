@@ -774,18 +774,8 @@ def seg_block_meta(
 def _seg_sweep_kernel(
     iblk_ref,       # (ceil8(block_cap),) i32 SMEM — i-slab indices (prefetch)
     wblk_ref,       # (ceil8(block_cap)*rows,) i32 SMEM — window fetch bases
-    meta_ref,       # (8, 128) i32 VMEM tile; row (blk % 8), see seg_block_meta
-    ipack_ref,      # (FR, B) VMEM — this block's i-slab (pipelined by Mosaic
-    #                 via the iblk scalar-prefetch index map)
-    jpack_hbm,      # (FR, N_padded) ANY — packed array (manual DMA src);
-    #                 FR = 8 for density/bvol (rows [0, 8) suffice), 16
-    #                 for the gradient modes
-    out_ref,        # (B, 8) VMEM
-    jbuf,           # (2, rows, FR, W) VMEM scratch — window double buffer
-    sems,           # (2, rows) DMA semaphores
-    cbuf,           # (FR, ~sub*rows*W) VMEM scratch — per-sub-slab
-    #                 compacted window streams (dynamic bases)
-    *,
+    *refs,          # [act_ref (skippable only),] meta_ref, ipack_ref,
+    #                 jpack_hbm, out_ref, jbuf, sems, cbuf — see below
     mode: str,
     spec: GridSpec,
     params: SolverParams,
@@ -795,6 +785,7 @@ def _seg_sweep_kernel(
     fast_math: bool = True,
     sub: int = 1,
     with_bias: bool = True,
+    skippable: bool = False,
 ):
     """Seg-layout sweep over anchor-confined logical blocks (grid.seg_plan:
     dense rows get their own z-trimmed blocks; sparse-row runs share
@@ -828,7 +819,27 @@ def _seg_sweep_kernel(
     fetches stream into the other slot.
 
     Overlap/overhang i-lanes (neighboring anchors' particles at the block's
-    edges) compute garbage that the caller's back map discards."""
+    edges) compute garbage that the caller's back map discards.
+
+    ``skippable``: an extra (ceil8(block_cap),) i32 scalar-prefetch operand
+    ``act_ref`` follows wblk_ref; blocks with act == 0 skip their window
+    DMAs (start AND wait are gated by the same scalar, so semaphore
+    pairing stays exact under any skip pattern), run the compaction and
+    math loops for zero iterations, and leave their out lanes unwritten —
+    garbage the caller masks exactly like back-map-invalid lanes.  Used by
+    the bvol sweep to process only blocks whose i-slab holds a boundary
+    particle (rigid scenes are ~99% fluid rows the bvol output never
+    consumes)."""
+    if skippable:
+        act_ref, meta_ref, ipack_ref, jpack_hbm, out_ref, jbuf, sems, cbuf = refs
+    else:
+        meta_ref, ipack_ref, jpack_hbm, out_ref, jbuf, sems, cbuf = refs
+    # refs: meta (8,128) i32 VMEM tile row (blk%8); ipack (FR, B) VMEM
+    # i-slab (pipelined via the iblk prefetch index map); jpack (FR,
+    # N_padded) ANY (manual DMA src; FR = 8 for density/bvol, 16 for the
+    # gradient modes); out (B, 8) VMEM; jbuf (2, rows, FR, W) VMEM window
+    # double buffer; sems (2, rows) DMA semaphores; cbuf (FR,
+    # ~sub*rows*W) VMEM compacted window streams (dynamic bases)
     rows = spec.num_rows
     dim = spec.dim
     h = params.support_length
@@ -850,13 +861,23 @@ def _seg_sweep_kernel(
             sems.at[s, row],
         )
 
-    @pl.when(blk == 0)
+    if skippable:
+        act_me = act_ref[blk] != 0
+        # clamped read: on the last block the guard below is false, but the
+        # condition operand is still evaluated
+        act_next = act_ref[jnp.minimum(blk + 1, nblk - 1)] != 0
+    else:
+        act_me = act_next = True
+
+    @pl.when((blk == 0) & act_me if skippable else blk == 0)
     def _():
         for r in range(rows):
             dma(0, r, 0).start()
 
-    # prefetch the NEXT block's windows before waiting on our own
-    @pl.when(blk + 1 < nblk)
+    # prefetch the NEXT block's windows before waiting on our own (start
+    # and wait are both gated by the TARGET block's act scalar, so every
+    # started DMA is waited exactly once under any skip pattern)
+    @pl.when((blk + 1 < nblk) & act_next if skippable else blk + 1 < nblk)
     def _():
         for r in range(rows):
             dma(1 - slot, r, blk + 1).start()
@@ -872,8 +893,14 @@ def _seg_sweep_kernel(
         for o in offsets
     ]
 
-    for r in range(rows):
-        dma(slot, r, blk).wait()
+    if skippable:
+        @pl.when(act_me)
+        def _():
+            for r in range(rows):
+                dma(slot, r, blk).wait()
+    else:
+        for r in range(rows):
+            dma(slot, r, blk).wait()
 
     # ---- compaction: stream each (sub-slab, row)'s occupied TRUE range
     # into that sub-slab's region of cbuf back-to-back with NO rounding at
@@ -908,6 +935,11 @@ def _seg_sweep_kernel(
             base_s[s] + pl.cdiv(cum_s, _LANE) * _LANE + tile + _LANE, _LANE
         ))
     nch = cumc[-1]
+    if skippable:
+        # zero trip counts on skipped blocks: compaction and math loops
+        # run no iterations; the straight-line preamble (sentinel fills,
+        # per-i reads) is a few µs of harmless work on garbage
+        nch = jnp.where(act_me, nch, 0)
     # sentinel-fill the id lane so tile-rounding tail lanes fail the test
     cbuf[_ID, :] = jnp.full((cbuf.shape[1],), -3e9, jnp.float32)
     # Tail lanes in [nl + last-row overrun, ceil_tile(nl)) of each stream
@@ -1027,6 +1059,8 @@ def _seg_sweep_kernel(
         lo_i = (idf - jnp.minimum(zf, 1.0))[:, None]
         hi_i = (idf + jnp.minimum(res_z - 1.0 - zf, 1.0))[:, None]
         B_s, ntot = base_s[s], pl.cdiv(nl[s], tile)
+        if skippable:
+            ntot = jnp.where(act_me, ntot, 0)
 
         def tile_body(t, acc_in, B_s=B_s, xi=xi, vi=vi, ivals=ivals,
                       lo_i=lo_i, hi_i=hi_i):
@@ -1100,6 +1134,10 @@ def _seg_sweep_kernel(
         own = ((lane + s * ss) >= meta_ref[mrow, _OWN_LO]) & (
             (lane + s * ss) < meta_ref[mrow, _OWN_HI]
         )
+        if skippable:
+            # skipped blocks leave their own lanes unwritten (garbage the
+            # caller masks — no row of a skipped block passes its bd test)
+            own = own & act_me
         new = jnp.concatenate(
             [col[:, None] for col in acc]
             + [jnp.zeros((ss, ncols - len(acc)), jnp.float32)],
@@ -1111,7 +1149,11 @@ def _seg_sweep_kernel(
 
 
 def _run_sweep_seg(pack, meta: "SegMeta", mode, spec, params, block, window,
-                   tile, interpret, fast_math=True, sub=1):
+                   tile, interpret, fast_math=True, sub=1, active=None):
+    """``active``: optional (num_blocks,) i32 — blocks with 0 skip their
+    DMAs and loops entirely and leave their out lanes as garbage (see
+    _seg_sweep_kernel ``skippable``); callers must consume the output only
+    on rows of active blocks."""
     n = pack.shape[1]
     rows = spec.num_rows
     # density/bvol touch only pack rows [0, 8): fetch half-height windows
@@ -1183,17 +1225,31 @@ def _run_sweep_seg(pack, meta: "SegMeta", mode, spec, params, block, window,
             block=block, window=w_eff, tile=tile,
             fast_math=fast_math and not interpret,
             sub=sub, with_bias=(q == 0),
+            skippable=active is not None,
         )
+        if active is not None:
+            n_pref = 3
+            pref = (meta.iblk, wblk_q,
+                    jnp.pad(active.astype(jnp.int32),
+                            (0, num_blocks - active.shape[0])))
+            imap_meta = lambda k, iblk, wblk, act: (k // 8, 0)
+            imap_ipack = lambda k, iblk, wblk, act: (0, iblk[k])
+            imap_out = lambda k, iblk, wblk, act: (iblk[k], 0)
+        else:
+            n_pref = 2
+            pref = (meta.iblk, wblk_q)
+            imap_meta = lambda k, iblk, wblk: (k // 8, 0)
+            imap_ipack = lambda k, iblk, wblk: (0, iblk[k])
+            imap_out = lambda k, iblk, wblk: (iblk[k], 0)
         return pl.pallas_call(
             kern,
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=2,
+                num_scalar_prefetch=n_pref,
                 grid=(num_blocks,),
                 in_specs=[
-                    pl.BlockSpec((8, 128), lambda k, iblk, wblk: (k // 8, 0),
+                    pl.BlockSpec((8, 128), imap_meta,
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((f_rows, block),
-                                 lambda k, iblk, wblk: (0, iblk[k]),
+                    pl.BlockSpec((f_rows, block), imap_ipack,
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec(memory_space=pl.ANY),
                 ],
@@ -1202,8 +1258,7 @@ def _run_sweep_seg(pack, meta: "SegMeta", mode, spec, params, block, window,
                 # consecutive (seg_plan monotone seg_start + edge-padded
                 # iblk), so Mosaic keeps the revisited out tile in VMEM and
                 # the read-modify-write merge in the kernel is sound.
-                out_specs=pl.BlockSpec((block, out_cols),
-                                       lambda k, iblk, wblk: (iblk[k], 0),
+                out_specs=pl.BlockSpec((block, out_cols), imap_out,
                                        memory_space=pltpu.VMEM),
                 scratch_shapes=[
                     pltpu.VMEM((2, rows, f_rows, w_dma), jnp.float32),
@@ -1228,7 +1283,7 @@ def _run_sweep_seg(pack, meta: "SegMeta", mode, spec, params, block, window,
                 (-(-n // block) * block, out_cols), jnp.float32
             ),
             interpret=interpret,
-        )(meta.iblk, wblk_q, meta_q, pack_j, pack_j)
+        )(*pref, meta_q, pack_j, pack_j)
 
     out = one_pass(0)
     for q in range(1, nseg):
@@ -1258,13 +1313,34 @@ def force_sweep_seg(pack, meta: "SegMeta", spec, params, block, window,
 
 
 def bvol_sweep_seg(pack, meta: "SegMeta", spec, params, block, window,
-                   tile=256, interpret=False, fast_math=True, sub=1):
+                   tile=256, interpret=False, fast_math=True, sub=1,
+                   active=None):
     """Seg-layout boundary-volume denominator; COMPACT (n,) output —
-    valid where SegPlan.back_valid."""
+    valid where SegPlan.back_valid (AND, when ``active`` block flags are
+    given, only on rows of active blocks — callers consume bvol on
+    boundary rows only, and bvol_active_blocks marks every block whose
+    i-slab holds one)."""
     out = _run_sweep_seg(pack, meta, "bvol", spec, params,
                          block, window, tile, interpret, fast_math,
-                         sub=sub)
+                         sub=sub, active=active)
     return out[:, 0]
+
+
+def bvol_active_blocks(pack, meta: "SegMeta", block: int) -> jax.Array:
+    """(num_blocks,) i32 flags for bvol_sweep_seg's ``active``: 1 iff the
+    seg block's i-slab [iblk*block, +block) holds a boundary row.  Only
+    boundary rows consume the bvol output (volume refresh masks with
+    bd & back_valid), so skipping every all-fluid block is EXACT — rigid
+    scenes are typically ~99% fluid rows (measured: the bvol sweep was
+    ~27% of the coupled step at 1.1% boundary fraction).  Constant within
+    an R-group (material and sorted order don't change between rebuilds),
+    cheap enough to recompute per substep (one (n,) compare + reshape-any
+    + gather over ~1e3 blocks)."""
+    bd = pack[_BD] > 0.0
+    nb = -(-pack.shape[1] // block)
+    bdp = jnp.pad(bd, (0, nb * block - pack.shape[1]))
+    slab_has_bd = jnp.any(bdp.reshape(nb, block), axis=1)
+    return jnp.take(slab_has_bd, meta.iblk, fill_value=False).astype(jnp.int32)
 
 
 def reaction_sweep_seg(pack, meta: "SegMeta", spec, params, block, window,
