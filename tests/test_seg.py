@@ -337,6 +337,39 @@ def test_seg_bvol_active_block_skip_matches_full(tmp_path):
         err_msg="bvol block skip changed a consumed boundary row",
     )
 
+    # the same skip generalizes to density/force (consumed on FLUID rows)
+    # and force_react (fluid|boundary rows) — bitwise on each consumer set
+    fluid = np.asarray(state_s.material) == 1
+    act_fl = ps.active_blocks(pack, meta, scfg.block_size, rows=(ps._FL,))
+    d_full = ps.density_sweep_seg(pack, meta, spec, params, scfg.block_size,
+                                  scfg.window_cap, **kw)
+    d_skip = ps.density_sweep_seg(pack, meta, spec, params, scfg.block_size,
+                                  scfg.window_cap, active=act_fl, **kw)
+    np.testing.assert_array_equal(
+        np.asarray(d_skip)[valid & fluid], np.asarray(d_full)[valid & fluid],
+        err_msg="density block skip changed a consumed fluid row",
+    )
+    f_full = ps.force_sweep_seg(pack, meta, spec, params, scfg.block_size,
+                                scfg.window_cap, **kw)
+    f_skip = ps.force_sweep_seg(pack, meta, spec, params, scfg.block_size,
+                                scfg.window_cap, active=act_fl, **kw)
+    np.testing.assert_array_equal(
+        np.asarray(f_skip)[valid & fluid], np.asarray(f_full)[valid & fluid],
+        err_msg="force block skip changed a consumed fluid row",
+    )
+    act_fb = ps.active_blocks(pack, meta, scfg.block_size,
+                              rows=(ps._FL, ps._BD))
+    fr_full = ps.force_react_sweep_seg(pack, meta, spec, params,
+                                       scfg.block_size, scfg.window_cap, **kw)
+    fr_skip = ps.force_react_sweep_seg(pack, meta, spec, params,
+                                       scfg.block_size, scfg.window_cap,
+                                       active=act_fb, **kw)
+    both = valid & (fluid | bound)
+    np.testing.assert_array_equal(
+        np.asarray(fr_skip)[both], np.asarray(fr_full)[both],
+        err_msg="force_react block skip changed a consumed row",
+    )
+
 
 def test_seg_step_matches_blocked_trajectory():
     """Full jitted seg steps track the blocked solver to fp32

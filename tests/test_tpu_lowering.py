@@ -103,6 +103,42 @@ def test_rigid_coupled_step_lowers_for_tpu(tmp_path):
     _lower_tpu(solver._coupled_step_fn, (state, rigid))
 
 
+def test_static_boundary_skip_step_lowers_for_tpu(tmp_path):
+    # a scene with STATIC boundary particles makes bind set _has_boundary,
+    # so the density and plain-force sweeps compile their skippable
+    # variants (per-block active flags) — lower that kernel shape too
+    import json
+
+    from tisph_tpu.geometry.mesh import box_mesh, save_obj
+
+    mesh_path = tmp_path / "box.obj"
+    save_obj(box_mesh((0.4, 0.6, 0.4), (0.6, 0.8, 0.6)), mesh_path)
+    raw = {
+        "configuration": {
+            "dim": 3, "domainStart": [0.0] * 3, "domainEnd": [1.0] * 3,
+            "particleRadius": 0.04, "density0": 1000,
+            "gravitation": [0.0, -9.81, 0.0], "c_s": 40.0,
+        },
+        "rigidBodies": [
+            {"geometryFile": str(mesh_path), "scale": [1, 1, 1],
+             "translation": [0, 0, 0], "rotationAngle": 0,
+             "rotationAxis": [0, 1, 0], "velocity": [0, 0, 0],
+             "density": 500.0, "color": [150, 150, 150]}
+        ],
+        "fluidBlocks": [
+            {"start": [0.15] * 3, "end": [0.5] * 3,
+             "velocity": [0.0, 0.0, 0.0], "density": 1000.0,
+             "color": [50, 100, 200]}
+        ],
+    }
+    p = tmp_path / "scene.json"
+    p.write_text(json.dumps(raw))
+    scene = tt.load_scene(p)
+    solver, state = _pallas_solver(scene, "seg")
+    assert solver._has_boundary
+    _lower_tpu(solver._step_fn, state)
+
+
 def test_amortized_group_lowers_for_tpu():
     # the R-group rollout body (build once, apply R times) is its own
     # traced program — lower the R=2 group

@@ -128,6 +128,14 @@ class SolverBase:
                 self.sweep_cfg = cfg
         if self.boundary_mode == "static":
             state = self._precompute_boundary_volumes(state)
+        # static gate for the boundary-aware seg block skips: scenes with
+        # no boundary particles compile the plain (non-skippable) sweep
+        # kernels; the particle material set is fixed for the whole run
+        # (emitters activate FLUID slots only), so one scalar fetch here
+        # decides the kernel variant for every subsequent compile
+        self._has_boundary = bool(
+            jax.device_get(jnp.any(state.material == 0))
+        )
         return state
 
     def _bind_seg(self, state: SimState, cfg):

@@ -215,6 +215,14 @@ class WCSPH(SolverBase):
                   fast_math=scfg.fast_math, sub=scfg.sub_slabs)
 
         fl = pack[ps._FL] > 0.0
+        # boundary-aware block skip (exact; see ps.active_blocks): when the
+        # scene has boundary particles, each sweep runs only on blocks
+        # whose i-slab holds a row of its consumer family.  Scenes without
+        # boundary rows (every block is consumer-active) compile the plain
+        # kernels (self._has_boundary is resolved once at bind).
+        skip = getattr(self, "_has_boundary", False)
+        act_fl = (ps.active_blocks(pack, meta, scfg.block_size, rows=(ps._FL,))
+                  if skip else None)
         if self.boundary_mode == "per_step":
             # Akinci boundary volumes on current positions
             # (sph_basev2.py:195-201, 212): delta sweep -> V = 1/delta ->
@@ -241,7 +249,8 @@ class WCSPH(SolverBase):
             )
 
         rho_c = ps.density_sweep_seg(
-            pack, meta, spec, params, scfg.block_size, scfg.window_cap, **kw
+            pack, meta, spec, params, scfg.block_size, scfg.window_cap,
+            active=act_fl, **kw
         )
         keep = plan.back_valid & fl
         rho = jnp.where(keep, rho_c, pack[ps._RHO])
@@ -255,8 +264,14 @@ class WCSPH(SolverBase):
         pack = ps.repack_eos(pack, rho, pressure)
 
         sweep = ps.force_react_sweep_seg if with_reactions else ps.force_sweep_seg
+        act_force = (
+            ps.active_blocks(pack, meta, scfg.block_size,
+                             rows=(ps._FL, ps._BD))
+            if (skip and with_reactions) else act_fl
+        )
         dv_c = sweep(
-            pack, meta, spec, params, scfg.block_size, scfg.window_cap, **kw
+            pack, meta, spec, params, scfg.block_size, scfg.window_cap,
+            active=act_force, **kw
         )
 
         # symplectic Euler advect (wcsphv2.py:95-100) + domain-box clamp
