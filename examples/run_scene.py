@@ -94,13 +94,18 @@ def main() -> int:
         solver_cls = tt.WCSPH if args.solver == "wcsph" else tt.WCSPHLegacy
         solver = solver_cls(scene, compat=args.compat)
         state = solver.bind(state)
+    emitters_ck = []
     if args.resume:
         from tisph_tpu import checkpoint
-        state, rigid_ck = checkpoint.load_npz(args.resume, with_rigid=True)
+        state, rigid_ck, emitters_ck = checkpoint.load_npz(
+            args.resume, with_rigid=True, with_emitters=True
+        )
         if rigid_ck is not None:
             rigid = rigid_ck  # body momentum is not derivable from particles
         print(f"resumed from {args.resume}: {int(state.num_active)} particles"
-              + (" + rigid body state" if rigid_ck is not None else ""))
+              + (" + rigid body state" if rigid_ck is not None else "")
+              + (f" + {len(emitters_ck)} emitter state(s)" if emitters_ck
+                 else ""))
     if args.resort > 1:
         if (
             solver.sweep_cfg is not None
@@ -121,6 +126,10 @@ def main() -> int:
     if scene.emitters:
         from tisph_tpu.geometry.emitter import make_emitter_state
         emitters = [make_emitter_state(em, scene) for em in scene.emitters]
+        if emitters_ck:
+            # resume the interval counters / emitted totals; a fresh
+            # make_emitter_state would reset the emission cadence
+            emitters = emitters_ck
         print(f"emitters: {len(emitters)} "
               f"(batch sizes {[e.batch_size for e in emitters]})")
 
@@ -183,7 +192,8 @@ def main() -> int:
         print(f"GIF written to {frames_to_gif(args.out, args.gif)}")
     if args.checkpoint:
         from tisph_tpu import checkpoint
-        checkpoint.save_npz(state, args.checkpoint, rigid=rigid)
+        checkpoint.save_npz(state, args.checkpoint, rigid=rigid,
+                            emitters=emitters)
         print(f"checkpoint written to {args.checkpoint}")
     if args.bpa:
         import numpy as np

@@ -99,6 +99,57 @@ class TestCheckpoint:
         out_b = jax.device_get(solver.step(restored))
         np.testing.assert_array_equal(np.asarray(out_a.x), np.asarray(out_b.x))
 
+    def test_emitter_resume_matches_uninterrupted(self, tmp_path):
+        """Checkpointing mid-run with the emitter states and resuming must
+        reproduce the uninterrupted trajectory exactly — the EmitterState
+        interval counters (``step``) and ``emitted`` totals are not
+        derivable from the particle snapshot (VERDICT r4 #6)."""
+        from tisph_tpu import checkpoint
+        from tisph_tpu.geometry.emitter import make_emitter_state
+
+        raw = {
+            "configuration": {
+                "dim": 2, "domainStart": [0, 0], "domainEnd": [2, 2],
+                "particleRadius": 0.02, "density0": 1000,
+                "gravitation": [0, -9.81], "c_s": 50.0,
+            },
+            "fluidBlocks": [
+                {"start": [0.5, 0.3], "end": [0.9, 0.6], "velocity": [0, 0],
+                 "density": 1000.0, "color": [50, 100, 200]}
+            ],
+            "emitters": [
+                {"start": [1.0, 1.5], "end": [1.08, 1.5001],
+                 "velocity": [0.0, -1.0], "interval": 7, "maxParticles": 80}
+            ],
+        }
+        scene = tt.scene_from_dict(raw)
+        solver = tt.WCSPH(scene)
+        state0 = solver.bind(tt.build_state(scene, extra_capacity=128))
+        es0 = make_emitter_state(scene.emitters[0], scene)
+
+        # uninterrupted: 24 steps (interval 7 -> emissions at 0,7,14,21)
+        sa, ems_a = solver.rollout_emit(state0, [es0], 24)
+
+        # interrupted at step 12 (mid-interval), checkpoint + resume
+        sm, ems_m = solver.rollout_emit(state0, [es0], 12)
+        p = tmp_path / "emit_ckpt.npz"
+        checkpoint.save_npz(sm, p, emitters=ems_m)
+        sr, _, ems_r = checkpoint.load_npz(
+            p, with_rigid=True, with_emitters=True
+        )
+        assert len(ems_r) == 1
+        assert int(ems_r[0].step) == int(ems_m[0].step)
+        sb, ems_b = solver.rollout_emit(sr, list(ems_r), 12)
+
+        assert int(ems_a[0].emitted) == int(ems_b[0].emitted)
+        assert int(sa.num_active) == int(sb.num_active)
+        np.testing.assert_array_equal(np.asarray(sa.x), np.asarray(sb.x))
+
+        # the failure mode guarded against: resuming with a FRESH emitter
+        # state resets the cadence and emits a different total
+        sw, ems_w = solver.rollout_emit(sr, [es0], 12)
+        assert int(ems_w[0].step) != int(ems_b[0].step)
+
     def test_orbax_roundtrip(self, tmp_path):
         pytest.importorskip("orbax.checkpoint")
         from tisph_tpu import checkpoint

@@ -75,7 +75,20 @@ def _seg_pass_lanes(rows: int, f_rows: int, sub: int, tile: int) -> int:
     s = (budget - 2 * rows * 2 * _LANE - sub * (tile + 2 * _LANE)) // (
         (2 + sub) * rows
     )
-    return max(tile, (int(s) // tile) * tile)
+    w = (int(s) // tile) * tile
+    if w < tile:
+        # even a single-tile pass would exceed the scoped-VMEM budget —
+        # clamping to ``tile`` here would silently recreate the Mosaic
+        # 16 MiB compile failure the segmentation exists to prevent
+        # (ADVICE r4 #3).  Reachable only at degenerate parameter combos
+        # (huge rows*sub against the budget).
+        raise ValueError(
+            f"seg sweep cannot fit one {tile}-lane pass in the "
+            f"{_VMEM_BUDGET_BYTES >> 20} MiB VMEM budget "
+            f"(rows={rows}, f_rows={f_rows}, sub={sub}, tile={tile}); "
+            "reduce tile/sub_slabs"
+        )
+    return w
 
 
 def pack_state(

@@ -902,7 +902,22 @@ class ShardedWCSPH(SolverBase):
                 if trips > rebuilds // 2:
                     old = self.resort_edge
                     self.regrow_resort_edge()
-                    if verbose and self.resort_edge != old:
+                    if self.resort_edge == old and old >= self._shard_rows:
+                        # edge saturated at shard_rows and the guard still
+                        # trips on most rebuilds: every resort pays the
+                        # full exchange PLUS the stock-sort fallback.
+                        # Escape to the stock sort instead of paying both
+                        # forever (ADVICE r4 #2).
+                        self.resort = "global"
+                        for nm in [k for k in vars(self)
+                                   if k.endswith("_jit")]:
+                            setattr(self, nm, None)
+                        if verbose:
+                            print(f"[tisph] exchange-resort edge saturated "
+                                  f"at shard_rows={old} with persistent "
+                                  f"seam-guard trips ({trips}/{rebuilds}); "
+                                  f"switching resort to 'global'")
+                    elif verbose and self.resort_edge != old:
                         print(f"[tisph] exchange-resort seam guard tripped "
                               f"{trips}/{rebuilds} rebuilds at edge {old}; "
                               f"deepened to {self.resort_edge} (recompile)")

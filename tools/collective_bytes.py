@@ -58,8 +58,9 @@ _UNCOND_REF_RES = (
     re.compile(r"condition=%?([\w.\-]+)"),
     re.compile(r"calls=%?([\w.\-]+)"),
 )
+# a collective can be a computation root ("ROOT %x = ... all-gather ...")
 _COLLECTIVE_RE = re.compile(
-    r"%?[\w.\-]+ = (.+?) (collective-permute|all-to-all|"
+    r"(?:ROOT )?%?[\w.\-]+ = (.+?) (collective-permute|all-to-all|"
     r"all-gather|all-reduce|reduce-scatter)"
 )
 
