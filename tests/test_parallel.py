@@ -401,3 +401,78 @@ def test_exchange_resort_run_deepens_edge():
     old = solver.resort_edge
     state = solver.run(state, 1)
     assert solver.resort_edge > old
+
+
+def _rigid_scene(tmp_path, body_density=300.0, radius=0.04):
+    import json
+
+    from tisph_tpu.geometry.mesh import box_mesh, save_obj
+
+    mesh_path = tmp_path / "box.obj"
+    save_obj(box_mesh((0.4, 0.55, 0.4), (0.6, 0.7, 0.6)), mesh_path)
+    raw = {
+        "configuration": {
+            "dim": 3, "domainStart": [0, 0, 0], "domainEnd": [1, 1, 1],
+            "particleRadius": radius, "density0": 1000,
+            "gravitation": [0, -9.81, 0], "c_s": 40.0,
+        },
+        "rigidBodies": [
+            {"geometryFile": str(mesh_path), "scale": [1, 1, 1],
+             "translation": [0, 0, 0], "rotationAngle": 0,
+             "rotationAxis": [0, 1, 0], "velocity": [0, 0, 0],
+             "density": body_density, "color": [150, 150, 150],
+             "isDynamic": True}
+        ],
+        "fluidBlocks": [
+            {"start": [0.1, 0.1, 0.1], "end": [0.9, 0.45, 0.9],
+             "velocity": [0, 0, 0], "density": 1000.0,
+             "color": [50, 100, 200]}
+        ],
+    }
+    p = tmp_path / "scene.json"
+    p.write_text(json.dumps(raw))
+    return tt.load_scene(p)
+
+
+@pytest.mark.parametrize("resort_every", [1, 2])
+def test_sharded_rigid_coupled_matches_single_chip(tmp_path, resort_every):
+    """Sharded two-way rigid coupling (VERDICT r4 #3): the 4-device
+    rollout_coupled — per-substep bvol + density + fused force_react
+    sweeps over the halo-extended shards, per-body reductions on the
+    sharded arrays (GSPMD inserts the cross-shard all-reduces) — must
+    reproduce the single-chip WCSPHRigid trajectory AND rigid state."""
+    from tisph_tpu.models.wcsph_rigid import WCSPHRigid
+    from tisph_tpu.ops.neighbors import SweepConfig
+
+    scene = _rigid_scene(tmp_path)
+    cfg = dict(impl="pallas", block_size=128, window_cap=1152, tile=128,
+               interpret=True, layout="seg", resort_every=resort_every)
+    steps = 3 if resort_every == 1 else 4
+
+    s1 = WCSPHRigid(scene, sweep_cfg=SweepConfig(**cfg))
+    st1 = s1.bind(tt.build_state(scene))
+    rg1 = s1.init_rigid(st1)
+    st1, rg1 = s1.rollout_coupled(st1, rg1, steps)
+    o1, r1 = jax.device_get(st1), jax.device_get(rg1)
+
+    mesh = make_mesh(4)
+    s2 = ShardedWCSPH(scene, mesh, sweep_cfg=SweepConfig(**cfg))
+    assert s2.boundary_mode == "per_step"  # auto-selected for rigid scenes
+    st2 = s2.bind(tt.build_state(scene))
+    rg2 = s2.init_rigid(st2)
+    st2, rg2 = s2.rollout_coupled(st2, rg2, steps)
+    o2, r2 = jax.device_get(st2), jax.device_get(rg2)
+
+    a1 = np.asarray(o1.material) != -1
+    a2 = np.asarray(o2.material) != -1
+    assert a1.sum() == a2.sum()
+    assert np.abs(np.asarray(o1.x)[a1] - np.asarray(o2.x)[a2]).max() < 1e-5
+    np.testing.assert_allclose(
+        np.asarray(o1.density)[a1], np.asarray(o2.density)[a2], rtol=1e-4
+    )
+    np.testing.assert_allclose(np.asarray(r1.com), np.asarray(r2.com),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r1.v_com), np.asarray(r2.v_com),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(r1.omega), np.asarray(r2.omega),
+                               atol=1e-4)

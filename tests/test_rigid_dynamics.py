@@ -344,3 +344,34 @@ def test_run_coupled_adaptive(tmp_path):
     assert solver.sweep_cfg.window_cap > cap0  # regrew mid-run
     assert np.isfinite(np.asarray(st.x)).all()
     assert np.isfinite(np.asarray(rg.com)).all()
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("density,expect_above", [(200.0, True), (5000.0, False)])
+def test_buoyancy_sharded(tmp_path, density, expect_above):
+    """The buoyancy physics gates through the SHARDED coupled path
+    (VERDICT r4 #3's done-criterion): ShardedWCSPH.rollout_coupled on a
+    1-device mesh must reproduce the float/sink outcomes — on the TPU
+    gate this runs the compiled Mosaic kernels through the shard_map
+    pipeline (halo extension, fused force_react, GSPMD-reduced body
+    forces)."""
+    from tisph_tpu.parallel import ShardedWCSPH, make_mesh
+
+    scene, _, _, _ = _build(
+        tmp_path, density, (0.42, 0.5, 0.42), (0.58, 0.62, 0.58),
+        fluid=_POOL, radius=0.02,
+    )
+    mesh = make_mesh(1)
+    solver = ShardedWCSPH(scene, mesh)
+    state = solver.bind(tt.build_state(scene))
+    rigid = solver.init_rigid(state)
+    state, rigid = solver.run_coupled(state, rigid, 2000)
+    r = jax.device_get(rigid)
+    com_y = float(r.com[0, 1])
+    if expect_above:
+        assert com_y > 0.27, f"light body should float, com_y={com_y}"
+    else:
+        assert com_y < 0.27, f"heavy body should sink, com_y={com_y}"
+    out = jax.device_get(state)
+    act = np.asarray(out.material) != -1
+    assert np.isfinite(np.asarray(out.x)[act]).all()

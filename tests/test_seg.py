@@ -576,3 +576,44 @@ def test_seg_plan_back_valid_is_covered_prefix(block_cap):
         assert not bv[act].all()
     else:
         assert bv[act].all()
+
+
+@pytest.mark.parametrize("mode", ["density", "force"])
+def test_seg_separate_ipack_matches_offset_addressing(mode):
+    """The 2-D sharded path's separate i-side pack must be BITWISE equal
+    to the 1-D path's offset addressing of the same rows: a local plan
+    over rows [off, off+n_loc) of the sorted array, sweeping with (a)
+    meta.iblk + off//block against the full pack and slicing the output,
+    vs (b) unshifted meta and ipack=pack[:, off:off+n_loc].  Same blocks,
+    same windows, same pair arithmetic — only the i-slab addressing
+    differs."""
+    scene = _scene()
+    solver, state_s, ids, _, _, pack = _seg_setup(scene, wcap=1024)
+    spec, params, scfg = solver.spec, solver.params, solver.sweep_cfg
+    block, wcap, tile = scfg.block_size, scfg.window_cap, scfg.tile
+
+    if mode == "force":
+        scfg_b = SweepConfig(impl="blocked", block_size=128, window_cap=1024)
+        nd = gridops.build_neighbor_data(state_s, ids, spec, scfg_b)
+        rho = F.compute_densities(state_s, nd, spec, params, scfg_b)
+        rho, p = F.compute_pressures(rho, params)
+        pack = ps.repack_eos(pack, rho, p)
+
+    off, n_loc = 256, 1024
+    ids_l = ids[off:off + n_loc]
+    bounds_e = gridops.csr_bounds_hist(ids, spec)
+    plan = gridops.seg_plan(ids_l, spec, block, 4096 // block)
+    meta, _ = ps.seg_block_meta(
+        plan, ids, spec, block, wcap, bounds=bounds_e, own_ids=ids_l
+    )
+    fn = ps.density_sweep_seg if mode == "density" else ps.force_sweep_seg
+
+    meta_off = meta._replace(iblk=meta.iblk + off // block)
+    out_a = np.asarray(fn(pack, meta_off, spec, params, block, wcap,
+                          tile=tile, interpret=_INTERPRET))[off:off + n_loc]
+    out_b = np.asarray(fn(pack, meta, spec, params, block, wcap,
+                          tile=tile, interpret=_INTERPRET,
+                          ipack=pack[:, off:off + n_loc]))
+    keep = np.asarray(plan.back_valid) & (np.asarray(ids_l) < spec.num_cells)
+    assert keep.any()
+    np.testing.assert_array_equal(out_a[keep], out_b[keep])

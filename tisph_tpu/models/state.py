@@ -79,6 +79,16 @@ class SimState:
     occ_resort: jax.Array = dataclasses.field(
         default_factory=lambda: np.zeros((), np.int32)
     )
+    # () i32 — 2-D sharded solver (parallel/domain2d.py): running max of
+    # per-shard ACTIVE row counts since the last reset.  Compared against
+    # the static per-shard row capacity by ShardedWCSPH2D.run — nearing it
+    # means the fixed rectangle cuts have drifted from the mass
+    # distribution (dam-break pile-up) and a host-side rebalance (re-cut
+    # quantiles + redistribute) is due BEFORE the migration cut would have
+    # to drop particles.  Always 0 elsewhere.
+    occ_shard: jax.Array = dataclasses.field(
+        default_factory=lambda: np.zeros((), np.int32)
+    )
 
     @property
     def capacity(self) -> int:
@@ -192,4 +202,5 @@ def state_to_host(state: SimState) -> dict[str, np.ndarray]:
     host.pop("occ_rowpad", None)
     host.pop("occ_halo", None)
     host.pop("occ_resort", None)
+    host.pop("occ_shard", None)
     return {k: np.asarray(a[:n]) for k, a in host.items()} | {"num_active": np.asarray(n)}

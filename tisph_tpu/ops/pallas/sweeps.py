@@ -1162,12 +1162,24 @@ def _seg_sweep_kernel(
 
 
 def _run_sweep_seg(pack, meta: "SegMeta", mode, spec, params, block, window,
-                   tile, interpret, fast_math=True, sub=1, active=None):
+                   tile, interpret, fast_math=True, sub=1, active=None,
+                   ipack=None):
     """``active``: optional (num_blocks,) i32 — blocks with 0 skip their
     DMAs and loops entirely and leave their out lanes as garbage (see
     _seg_sweep_kernel ``skippable``); callers must consume the output only
-    on rows of active blocks."""
+    on rows of active blocks.
+
+    ``ipack``: optional separate (16, N_i) i-side pack.  By default the
+    i-slabs are block slices of ``pack`` itself (meta.iblk in j
+    coordinates — the 1-D sharded path's offset trick).  The 2-D sharded
+    path passes its LOCAL pack here: own rows interleave with halo rows in
+    the id-merged extended j array, so they are not contiguous there;
+    meta.iblk is then in LOCAL (ipack) coordinates, the compact output has
+    N_i rows, and the self-pair zero (dx bitwise 0) still holds because
+    the own rows' values in ipack and the extended pack are copies of the
+    same f32 values."""
     n = pack.shape[1]
+    n_i = ipack.shape[1] if ipack is not None else n
     rows = spec.num_rows
     # density/bvol touch only pack rows [0, 8): fetch half-height windows
     f_rows = (D_ROWS if mode not in ("force", "reaction", "force_react",
@@ -1218,6 +1230,13 @@ def _run_sweep_seg(pack, meta: "SegMeta", mode, spec, params, block, window,
     w_dma = w_fetch + 2 * _LANE
     padded = -(-n // _LANE) * _LANE + (nseg - 1) * w_fetch + w_dma
     pack_j = jnp.pad(pack, ((0, 0), (0, padded - n)))
+    if ipack is None:
+        pack_i = pack_j
+    else:
+        pack_i = ipack[:f_rows] if ipack.shape[0] > f_rows else ipack
+        pad_i = -(-n_i // block) * block - n_i
+        if pad_i:
+            pack_i = jnp.pad(pack_i, ((0, 0), (0, pad_i)))
     # true-lane-count columns: triple slot 2 of every (sub-slab, row) entry
     tcols = np.asarray(
         [3 * e + 2 for e in range(sub * rows)], dtype=np.int32
@@ -1293,46 +1312,46 @@ def _run_sweep_seg(pack, meta: "SegMeta", mode, spec, params, block, window,
                 ],
             ),
             out_shape=jax.ShapeDtypeStruct(
-                (-(-n // block) * block, out_cols), jnp.float32
+                (-(-n_i // block) * block, out_cols), jnp.float32
             ),
             interpret=interpret,
-        )(*pref, meta_q, pack_j, pack_j)
+        )(*pref, meta_q, pack_i, pack_j)
 
     out = one_pass(0)
     for q in range(1, nseg):
         # non-own lanes sum pass garbage; callers mask them (back_valid)
         out = out + one_pass(q)
-    return out[:n]
+    return out[:n_i]
 
 
 def density_sweep_seg(pack, meta: "SegMeta", spec, params, block, window,
                       tile=256, interpret=False, fast_math=True, sub=1,
-                      active=None):
+                      active=None, ipack=None):
     """Seg-layout density sweep; COMPACT (n,) output — valid where
     SegPlan.back_valid (lanes no block owns hold garbage; with ``active``
     flags, only on rows of active blocks — consumers mask with the fluid
     row family, see active_blocks)."""
     out = _run_sweep_seg(pack, meta, "density", spec, params,
                          block, window, tile, interpret, fast_math,
-                         sub=sub, active=active)
+                         sub=sub, active=active, ipack=ipack)
     return out[:, 0]
 
 
 def force_sweep_seg(pack, meta: "SegMeta", spec, params, block, window,
                     tile=256, interpret=False, fast_math=True, sub=1,
-                    active=None):
+                    active=None, ipack=None):
     """Seg-layout fused force sweep; COMPACT (n, dim) output — valid
     where SegPlan.back_valid (with ``active``: on active-block rows
     only — consumers mask with the fluid row family)."""
     out = _run_sweep_seg(pack, meta, "force", spec, params,
                          block, window, tile, interpret, fast_math,
-                         sub=sub, active=active)
+                         sub=sub, active=active, ipack=ipack)
     return out[:, : spec.dim]
 
 
 def bvol_sweep_seg(pack, meta: "SegMeta", spec, params, block, window,
                    tile=256, interpret=False, fast_math=True, sub=1,
-                   active=None):
+                   active=None, ipack=None):
     """Seg-layout boundary-volume denominator; COMPACT (n,) output —
     valid where SegPlan.back_valid (AND, when ``active`` block flags are
     given, only on rows of active blocks — callers consume bvol on
@@ -1340,7 +1359,7 @@ def bvol_sweep_seg(pack, meta: "SegMeta", spec, params, block, window,
     i-slab holds one)."""
     out = _run_sweep_seg(pack, meta, "bvol", spec, params,
                          block, window, tile, interpret, fast_math,
-                         sub=sub, active=active)
+                         sub=sub, active=active, ipack=ipack)
     return out[:, 0]
 
 
@@ -1372,18 +1391,19 @@ def bvol_active_blocks(pack, meta: "SegMeta", block: int) -> jax.Array:
 
 
 def reaction_sweep_seg(pack, meta: "SegMeta", spec, params, block, window,
-                       tile=256, interpret=False, fast_math=True, sub=1):
+                       tile=256, interpret=False, fast_math=True, sub=1,
+                       ipack=None):
     """Seg-layout fluid->boundary reaction force; COMPACT (n, dim)
     output — valid where SegPlan.back_valid."""
     out = _run_sweep_seg(pack, meta, "reaction", spec, params,
                          block, window, tile, interpret, fast_math,
-                         sub=sub)
+                         sub=sub, ipack=ipack)
     return out[:, : spec.dim]
 
 
 def force_react_sweep_seg(pack, meta: "SegMeta", spec, params, block, window,
                           tile=256, interpret=False, fast_math=True, sub=1,
-                          active=None):
+                          active=None, ipack=None):
     """Fused force + reaction (rigid two-way coupling) in ONE seg pass:
     COMPACT (n, dim) output holding the fluid dv on fluid rows and the
     fluid->boundary reaction force on boundary rows (valid where
@@ -1394,5 +1414,5 @@ def force_react_sweep_seg(pack, meta: "SegMeta", spec, params, block, window,
     weak #6)."""
     out = _run_sweep_seg(pack, meta, "force_react", spec, params,
                          block, window, tile, interpret, fast_math,
-                         sub=sub, active=active)
+                         sub=sub, active=active, ipack=ipack)
     return out[:, : spec.dim]

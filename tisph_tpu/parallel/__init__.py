@@ -12,7 +12,12 @@ A new capability — the reference is strictly single-process single-GPU
 - neighbor sweeps read one fixed-width halo slice of the sorted array from
   each neighboring shard, exchanged with ``ppermute`` over ICI — the SPH
   analog of a ring-attention block rotation (SURVEY.md §5.7);
-- global reductions (CFL, metrics) are ``psum``/``pmax`` collectives.
+- global reductions (CFL, metrics) are ``psum``/``pmax`` collectives;
+- for fixed-size domains whose x-resolution caps the 1-D slab count, the
+  2-D (x × y) rectangle decomposition (parallel/domain2d.py) scales the
+  shard count with the domain AREA and shrinks halo bytes to the
+  rectangle perimeter.
 """
 
 from tisph_tpu.parallel.domain import ShardedWCSPH, make_mesh
+from tisph_tpu.parallel.domain2d import ShardedWCSPH2D, make_mesh2d

@@ -90,8 +90,18 @@ class ShardedWCSPH(SolverBase):
         halo: int | None = None,
         resort: str = "exchange",
         resort_edge: int | None = None,
+        boundary_mode: str | None = None,
     ):
-        super().__init__(scene, compat=compat, params=params, sweep_cfg=sweep_cfg)
+        if boundary_mode is None:
+            # rigid scenes need per-substep Akinci volume recomputes (the
+            # bodies move); auto-select like run_scene does for WCSPHRigid
+            boundary_mode = (
+                "per_step"
+                if any(rb.is_dynamic for rb in scene.rigid_bodies)
+                else "static"
+            )
+        super().__init__(scene, compat=compat, params=params,
+                         sweep_cfg=sweep_cfg, boundary_mode=boundary_mode)
         self.mesh = mesh
         self.axis = mesh.axis_names[0]
         self.n_shards = mesh.devices.size
@@ -147,7 +157,8 @@ class ShardedWCSPH(SolverBase):
                 raise NotImplementedError(
                     "ShardedWCSPH supports sub_slabs=1 only"
                 )
-        state = self._precompute_boundary_volumes(state)
+        if self.boundary_mode == "static":
+            state = self._precompute_boundary_volumes(state)
 
         # pad capacity so each shard gets an equal, block-divisible chunk
         unit = self.n_shards * self.sweep_cfg.block_size
@@ -664,6 +675,186 @@ class ShardedWCSPH(SolverBase):
         )
         state = F.advect(state, d_velocity, params)
         return F.enforce_domain_boundary(state, params)
+
+    # ------------------------------------------------------------------
+    # dynamic rigid bodies over the mesh (two-way coupling, VERDICT r4 #3)
+    # ------------------------------------------------------------------
+    def init_rigid(self, state: SimState):
+        from tisph_tpu.models.rigid import make_rigid_state
+
+        return make_rigid_state(state, self.scene)
+
+    def _coupled_step_fn(self, carry):
+        state, rigid = carry
+        state, cache = self._seg_build(state)
+        return self._coupled_apply((state, rigid), cache)
+
+    def _coupled_apply(self, carry, cache):
+        """One coupled physics substep on the sharded seg path: the three
+        sweeps (per-substep Akinci boundary volume, density, fused
+        force+reaction — models/wcsph_rigid.py's pipeline) run as the
+        usual halo-extended per-shard kernels, and the per-body
+        force/torque reductions simply run on the SHARDED global arrays
+        OUTSIDE shard_map — the masked ``jnp.sum`` over the particle axis
+        lowers to per-shard partial sums + an all-reduce under GSPMD, so
+        the 'psum across shards' of VERDICT r4 #3 is the compiler's
+        insertion, not hand-written collectives.  RigidState is
+        replicated (O(bodies) scalars)."""
+        from tisph_tpu.models.rigid import integrate_rigid_fields
+        from tisph_tpu.ops.pallas import sweeps as ps
+
+        state, rigid = carry
+        spec, params, scfg = self.spec, self.params, self.sweep_cfg
+        if scfg.impl != "pallas" or scfg.layout != "seg":
+            raise NotImplementedError(
+                "sharded rigid coupling runs on the pallas seg layout only"
+            )
+        if self.boundary_mode != "per_step":
+            raise ValueError("dynamic rigid bodies need boundary_mode="
+                             "'per_step' (auto-selected for rigid scenes)")
+        ax = self.axis
+        hn, shard_rows = self.halo, self._shard_rows
+        hops = self._hops()
+        meta, back_valid, sorted_ids = cache
+        axis_spec = P(ax)
+        kw = dict(tile=scfg.tile, interpret=scfg.interpret,
+                  fast_math=scfg.fast_math, sub=scfg.sub_slabs)
+
+        def sweep_shard(mode, ids_l, meta_c, bval, *fields):
+            f_local = dict(zip(_FIELD_KEYS, fields))
+            n_local = f_local["x"].shape[0]
+            ext, off = self._extend(
+                {**f_local, "ids": ids_l}, hn, hops, shard_rows
+            )
+            ids_e = ext["ids"]
+            if mode == "bvol":
+                # positions are identical in all three sweeps of a substep
+                # (advect runs after force): flag halo reach once here
+                coords_l = gridops.cell_coords(f_local["x"], spec)
+                ranges = gridops.cell_target_ranges(coords_l, spec)
+                halo_flag = self._cover_flag(ids_l, ids_e, ranges, hops)
+            else:
+                halo_flag = jnp.int32(0)
+            pack_ext = ps.pack_state(
+                ext["x"], ext["v"], ext["density"], ext["pressure"],
+                ext["mass"], ext["volume"], ext["material"], ids_e, params,
+            )
+            fn = {"bvol": ps.bvol_sweep_seg,
+                  "density": ps.density_sweep_seg,
+                  "force_react": ps.force_react_sweep_seg}[mode]
+            out_c = fn(pack_ext, meta_c, spec, params, scfg.block_size,
+                       scfg.window_cap, **kw)
+            out_l = jax.lax.dynamic_slice_in_dim(out_c, off, n_local, axis=0)
+            fluid = f_local["material"] == 1
+            bd = f_local["material"] == 0
+            if mode == "bvol":
+                res = jnp.where(bval & bd,
+                                1.0 / jnp.maximum(out_l, 1e-10),
+                                f_local["volume"])
+            elif mode == "density":
+                res = jnp.where(bval & fluid, out_l, f_local["density"])
+            else:  # fused dv (fluid rows) + reaction (boundary rows)
+                res = jnp.where((bval & (fluid | bd))[:, None], out_l, 0.0)
+            return res, halo_flag
+
+        meta_spec = ps.SegMeta(axis_spec, axis_spec, axis_spec)
+        in_specs = (
+            (axis_spec, meta_spec, axis_spec)
+            + (axis_spec,) * len(_FIELD_KEYS)
+        )
+
+        def make_shard(mode):
+            @partial(jax.shard_map, mesh=self.mesh, in_specs=in_specs,
+                     out_specs=(axis_spec, P()), check_vma=False)
+            def shard(ids_l, meta_c, bval, *fields):
+                return sweep_shard(mode, ids_l, meta_c, bval, *fields)
+            return shard
+
+        f = F.state_fields(state)
+        volume, hflag_b = make_shard("bvol")(
+            sorted_ids, meta, back_valid, *[f[k] for k in _FIELD_KEYS],
+        )
+        state = dataclasses.replace(state, volume=volume)
+
+        f = F.state_fields(state)
+        density, _ = make_shard("density")(
+            sorted_ids, meta, back_valid, *[f[k] for k in _FIELD_KEYS],
+        )
+        rho, pressure = tait_pressure(
+            density, params.density0, params.stiffness, params.exponent
+        )
+        state = dataclasses.replace(state, density=rho, pressure=pressure)
+
+        f = F.state_fields(state)
+        out, _ = make_shard("force_react")(
+            sorted_ids, meta, back_valid, *[f[k] for k in _FIELD_KEYS],
+        )
+        fluid = state.fluid_mask[:, None]
+        d_velocity = jnp.where(fluid, out, 0.0)
+        reactions = jnp.where(state.boundary_mask[:, None], out, 0.0)
+
+        state = dataclasses.replace(
+            state,
+            occ_halo=jnp.maximum(
+                jnp.asarray(state.occ_halo, jnp.int32),
+                hflag_b.astype(jnp.int32),
+            ),
+        )
+        state = F.advect(state, d_velocity, params)
+        x, v, rigid = integrate_rigid_fields(
+            state.x, state.v, state.mass, state.object_id,
+            state.boundary_mask, rigid, reactions, params,
+        )
+        state = dataclasses.replace(state, x=x, v=v)
+        return F.enforce_domain_boundary(state, params), rigid
+
+    def step_coupled(self, state: SimState, rigid):
+        if self.spec is None:
+            state = self.bind(state)
+        if getattr(self, "_coupled_jit", None) is None:
+            self._coupled_jit = jax.jit(self._coupled_step_fn)
+        return self._coupled_jit((state, rigid))
+
+    def rollout_coupled(self, state: SimState, rigid, num_steps: int):
+        """``num_steps`` sharded coupled steps in one dispatch; with
+        ``resort_every = R > 1`` the distributed rebuild runs once per
+        R-group (the moving-boundary staleness argument of
+        WCSPHRigid._coupled_apply extends unchanged — the id test uses
+        cached sort-time ids on both sides and rigid motion is
+        CFL-bounded)."""
+        if self.spec is None:
+            state = self.bind(state)
+        R = self._amortize_R()
+        if getattr(self, "_coupled_roll_jit", None) is None:
+            if R > 1:
+                def _roll(carry, n):
+                    def outer(i, c):
+                        st, cache = self._seg_build(c[0])
+                        k = jnp.minimum(R, n - i * R)
+                        return jax.lax.fori_loop(
+                            0, k,
+                            lambda _, c2: self._coupled_apply(c2, cache),
+                            (st, c[1]),
+                        )
+                    return jax.lax.fori_loop(0, -(-n // R), outer, carry)
+            else:
+                def _roll(carry, n):
+                    return jax.lax.fori_loop(
+                        0, n, lambda _, c: self._coupled_step_fn(c), carry
+                    )
+            self._coupled_roll_jit = jax.jit(_roll, static_argnums=1)
+        return self._coupled_roll_jit((state, rigid), num_steps)
+
+    def run_coupled(self, state: SimState, rigid, num_steps: int, **kw):
+        """Long sharded coupled runs (adaptive recapacity over the
+        (SimState, RigidState) carry — see SolverBase._run_adaptive)."""
+        if self.spec is None:
+            state = self.bind(state)
+        return self._run_adaptive(
+            (state, rigid), num_steps,
+            lambda c, k: self.rollout_coupled(c[0], c[1], k),
+            lambda c: c[0], lambda c, s: (s, c[1]), **kw
+        )
 
     # ------------------------------------------------------------------
     def _step_fn(self, state: SimState) -> SimState:

@@ -1,0 +1,948 @@
+"""2-D (x × y) spatial domain decomposition over a 2-D device mesh.
+
+The 1-D slab decomposition (parallel/domain.py) shards the globally
+cell-sorted array into contiguous row chunks — spatial x-slabs.  Its shard
+count is capped by the domain's x-resolution (slabs thinner than the
+stencil reach degenerate into the all_gather halo path), which is the last
+scoped-but-unbuilt step of the 1e9 bridge for fixed-size domains
+(docs/design.md "The bridge to 1e9"; VERDICT r4 #1).  This module removes
+that cap: shards own fixed (x, y) cell rectangles on a ("sx", "sy") mesh,
+so the per-shard boundary area — and with it the halo bytes — scales with
+the rectangle perimeter instead of a full domain cross-section.
+
+Design (all sweeps/kernels are the UNCHANGED seg pallas tier):
+
+- **Ownership**: shard (sx, sy) owns the cells with ``tbl_sx[cx] == sx``
+  and ``tbl_sy[sx, cy] == sy`` — x cut into ``Sx`` slabs at equal-count
+  quantiles of the bound-time distribution, then each slab cut into ``Sy``
+  y-bands at its own quantiles (product quantiles keep initial imbalance
+  ~zero even for L-shaped fluid).  Each shard stores its particles sorted
+  by the GLOBAL row-major flat cell id in a fixed ``shard_rows`` slot
+  budget with an inactive sentinel tail (the locality basis is the same
+  flat id as everywhere else — reference
+  /root/reference/core/partice_system/partice_system.py:22 — so the
+  window machinery and the separable per-pair membership test carry over
+  verbatim).
+
+- **Migration** (the 2-D resort, once per R-group rebuild): particles
+  whose cell crossed a cut move to the neighbor shard via two fixed-size
+  buffered ppermute phases — x then y (a diagonal migrant rides both).
+  Motion between rebuilds is CFL-bounded ≪ one cell, so targets beyond
+  the adjacent shard cannot occur in steady state; they are clamped,
+  counted in ``occ_resort``, and ratchet one shard per rebuild toward
+  their true owner.  After both phases each shard stable-sorts its
+  [own ∥ received] rows by cell id and keeps the first ``shard_rows``
+  (sentinels sort to the tail).  ``occ_shard`` tracks the pmax'd active
+  row count so ShardedWCSPH2D.run can rebalance the cuts BEFORE the cut
+  would drop a particle.
+
+- **Halo**: the stencil needs exactly the 1-cell layer around each
+  rectangle.  Two buffered exchange stages cover it INCLUDING corners: a
+  y-stage sends each shard's top/bottom cell layers along "sy"; the
+  x-stage then sends the left/right cell layers of (own ∥ y-halo) along
+  "sx", so corner cells ride through the x-neighbors.  The extended array
+  [own ∥ y-halo ∥ x-halo] is merge-sorted by cell id once per rebuild
+  (the j side of the sweeps must be id-sorted); the merge permutation and
+  the buffer gather indices are cached, so each substep's VALUE refresh
+  is 4 ppermutes of (H, C) buffers + cached row gathers — the 2-D analog
+  of the 1-D path's per-substep halo exchanges.
+
+- **i/j split**: own rows interleave with halo rows in the id-merged
+  extended array, so the sweeps take the local pack as a SEPARATE i side
+  (``ipack`` — ops/pallas/sweeps.py; bitwise-equal to the 1-D offset
+  addressing, tests/test_seg.py::test_seg_separate_ipack_matches_offset_
+  addressing).  The seg plan is built over the local rows; windows search
+  the extended ids.  The self-pair still cancels exactly: own rows'
+  values in ipack and the extended pack are copies of the same f32s.
+
+Emitters and dynamic rigid bodies are not wired on the 2-D mesh (the 1-D
+``ShardedWCSPH`` carries both); ``bind`` rejects those scenes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tisph_tpu.config import SceneConfig, SolverParams
+from tisph_tpu.models.state import SimState, MATERIAL_INVALID
+from tisph_tpu.models.solver_base import SolverBase
+from tisph_tpu.ops import forces as F
+from tisph_tpu.ops import grid as gridops
+from tisph_tpu.ops.eos import tait_pressure
+from tisph_tpu.ops.neighbors import SweepConfig
+
+
+def make_mesh2d(sx: int, sy: int, axes=("sx", "sy")) -> Mesh:
+    """(sx × sy) mesh over the default backend's devices; falls back to the
+    virtual CPU platform when it has too few (same contract as
+    domain.make_mesh)."""
+    devs = jax.devices()
+    need = sx * sy
+    if len(devs) < need:
+        devs = jax.devices("cpu")
+    if len(devs) < need:
+        raise ValueError(
+            f"need {need} devices, have {len(devs)} "
+            "(set XLA_FLAGS=--xla_force_host_platform_device_count=N)"
+        )
+    return Mesh(np.asarray(devs[:need]).reshape(sx, sy), axes)
+
+
+# particle-state payload: every per-particle field rides migrations and
+# halo exchanges as one (rows, C) f32 matrix (lossless bitcasts for the
+# i32 columns) so each hop is ONE ppermute
+_PAYLOAD = ("x", "v", "density", "pressure", "mass", "volume", "material",
+            "color", "object_id")
+# fields the sweeps consume (pack_state operands)
+_FIELD_KEYS = ("x", "v", "density", "pressure", "mass", "volume", "material")
+
+
+def _payload_layout(state: SimState):
+    """[(name, n_components, dtype)] for the 1-D column split."""
+    out = []
+    for name in _PAYLOAD:
+        a = getattr(state, name)
+        out.append((name, 1 if a.ndim == 1 else a.shape[1], a.dtype))
+    return out
+
+
+def _f32(c):
+    return (c if c.dtype == jnp.float32
+            else jax.lax.bitcast_convert_type(c, jnp.float32))
+
+
+class ShardedWCSPH2D(SolverBase):
+    """WCSPH over a 2-D ("sx", "sy") device mesh (seg pallas layout only).
+
+    Same physics as WCSPH / ShardedWCSPH (shared pair kernels and seg
+    sweeps); 2-D rectangle ownership with buffered migration + 2-stage
+    halo exchange.
+    """
+
+    def __init__(
+        self,
+        scene: SceneConfig,
+        mesh: Mesh,
+        compat: str = "reference",
+        params: SolverParams | None = None,
+        sweep_cfg: SweepConfig | None = None,
+        balance_slack: float = 1.5,
+        buffer_slack: float = 2.0,
+    ):
+        super().__init__(scene, compat=compat, params=params, sweep_cfg=sweep_cfg)
+        if scene.dim < 2:
+            raise ValueError("2-D decomposition needs dim >= 2")
+        if len(mesh.axis_names) != 2:
+            raise ValueError(f"need a 2-axis mesh, got {mesh.axis_names}")
+        self.mesh = mesh
+        self.ax_x, self.ax_y = mesh.axis_names
+        self.Sx, self.Sy = mesh.devices.shape
+        self.n_shards = self.Sx * self.Sy
+        self.balance_slack = float(balance_slack)
+        self.buffer_slack = float(buffer_slack)
+        self._sharding = NamedSharding(mesh, P((self.ax_x, self.ax_y)))
+        self._replicated = NamedSharding(mesh, P())
+        # halo / migration buffer capacities (rows; resolved at bind,
+        # doubled by regrow_buffers when occ_halo trips)
+        self.cap_hx: int | None = None
+        self.cap_hy: int | None = None
+        self.cap_mx: int | None = None
+        self.cap_my: int | None = None
+        self._shard_rows: int | None = None
+        # cut tables (static jnp constants rebuilt by rebalance())
+        self._tbl_sx = None   # (res_x,) i32 -> sx
+        self._tbl_sy = None   # (res_y,) i32 -> sy (GLOBAL y-cuts)
+        self._xlo = None      # (Sx,) i32 slab cell bounds [xlo, xhi)
+        self._xhi = None
+        self._ylo = None      # (Sy,) i32 band cell bounds [ylo, yhi)
+        self._yhi = None
+
+    # ------------------------------------------------------------------
+    # bind: caps, cuts, distribution
+    # ------------------------------------------------------------------
+    def bind(self, state: SimState) -> SimState:
+        if self.scene.emitters:
+            raise NotImplementedError(
+                "emitters are not wired on the 2-D mesh; use ShardedWCSPH"
+            )
+        if self.spec is None or self.sweep_cfg is None:
+            probe = self.spec if self.spec is not None else self._make_spec(run_cap=8)
+            block = self.sweep_cfg.block_size if self.sweep_cfg is not None else 128
+            run_len, window, _ = gridops.measure_caps_device(state, probe, block)
+        if self.spec is None:
+            self.spec = self._make_spec(max(8, -(-int(run_len * 1.5) // 8) * 8))
+        if self.sweep_cfg is None:
+            wcap = max(128, -(-int(window * 1.5) // 128) * 128)
+            platform = self.mesh.devices.ravel()[0].platform
+            tile = 128 if self.scene.dim == 2 else 256
+            self.sweep_cfg = SweepConfig(
+                impl="pallas", block_size=block, window_cap=wcap,
+                layout="seg", tile=tile, interpret=(platform != "tpu"),
+            )
+        cfg = self.sweep_cfg
+        if cfg.impl != "pallas" or cfg.layout != "seg":
+            raise NotImplementedError(
+                "ShardedWCSPH2D implements the pallas seg layout only"
+            )
+        if cfg.sub_slabs != 1:
+            raise NotImplementedError("ShardedWCSPH2D supports sub_slabs=1")
+        import dataclasses as _dc
+
+        wcap = int(-(-(cfg.window_cap + 128) // cfg.tile) * cfg.tile)
+        if wcap != cfg.window_cap:
+            self.sweep_cfg = cfg = _dc.replace(cfg, window_cap=wcap)
+        if self.spec.num_cells >= 2**24:
+            raise ValueError("pallas sweep needs num_cells < 2**24")
+        res = self.spec.res
+        if res[0] < self.Sx or res[1] < self.Sy:
+            raise ValueError(
+                f"grid {res} too small for a {self.Sx}x{self.Sy} mesh"
+            )
+        state = self._precompute_boundary_volumes(state)
+
+        # per-shard row budget: cuts are cell-granular, so on coarse grids
+        # the equal-count quantiles can land a multiple of the mean in one
+        # rectangle — size rows from the MEASURED worst shard of the
+        # bind-time distribution (x slack for drift), not from the mean
+        block = cfg.block_size
+        self._make_cuts(state)
+        worst0 = int(jax.device_get(jnp.max(self._count_shards(state))))
+        mean = -(-state.capacity // self.n_shards)
+        rows = max(int(worst0 * max(self.balance_slack, 1.1)),
+                   int(mean * self.balance_slack),
+                   max(cfg.window_cap, block + 256))
+        rows = -(-rows // block) * block
+        self._shard_rows = rows
+        cap2 = rows * self.n_shards
+        if cap2 != state.capacity:
+            from tisph_tpu.models.state import pad_state_capacity
+
+            state = pad_state_capacity(state, cap2)
+        if cfg.pad_capacity <= 0:
+            blocks = -(-rows // block)
+            self.sweep_cfg = cfg = _dc.replace(
+                cfg, pad_capacity=(int(blocks * 1.3) + 256) * block
+            )
+
+        state, counts = self._distribute(state)
+        worst = int(jax.device_get(jnp.max(counts)))
+        if worst > rows:
+            raise ValueError(
+                f"initial distribution overflows a shard ({worst} > "
+                f"{rows} rows); raise balance_slack (= {self.balance_slack})"
+            )
+        self._measure_buffers(state)
+        self._has_boundary = bool(
+            jax.device_get(jnp.any(state.material == 0))
+        )
+        return self.shard_state(state)
+
+    def shard_state(self, state: SimState) -> SimState:
+        return jax.tree.map(
+            lambda a: jax.device_put(
+                a, self._sharding if getattr(a, "ndim", 0) >= 1 else self._replicated
+            ),
+            state,
+        )
+
+    # -- cut tables -----------------------------------------------------
+    def _make_cuts(self, state: SimState) -> None:
+        """Equal-count quantile cuts of the CURRENT distribution: x into
+        Sx slabs, y into Sy bands.  The y-cuts are GLOBAL (identical in
+        every slab): misaligned per-slab bands would need halo rows from
+        arbitrarily deep inside diagonal shards — rows a 1-layer,
+        mesh-neighbor exchange provably cannot deliver — so alignment is a
+        correctness requirement, not a simplification; residual imbalance
+        is absorbed by balance_slack and the occ_shard-steered rebalance.
+        Only Sx + Sy - 2 scalars cross the device->host boundary."""
+        spec, Sx, Sy = self.spec, self.Sx, self.Sy
+        res_x, res_y = int(spec.res[0]), int(spec.res[1])
+
+        @jax.jit
+        def _cuts(st: SimState):
+            coords = gridops.cell_coords(st.x, spec)
+            act = st.material != MATERIAL_INVALID
+            n_act = jnp.sum(act)
+            big = jnp.int32(np.iinfo(np.int32).max)
+            cx = jnp.sort(jnp.where(act, coords[:, 0], big))
+            cy = jnp.sort(jnp.where(act, coords[:, 1], big))
+            qx = (jnp.arange(1, Sx) * n_act) // Sx
+            qy = (jnp.arange(1, Sy) * n_act) // Sy
+            return (cx[jnp.clip(qx, 0, st.capacity - 1)],
+                    cy[jnp.clip(qy, 0, st.capacity - 1)])
+
+        x_cuts, y_cuts = jax.device_get(_cuts(state))
+        x_cuts = np.asarray(x_cuts, np.int64)
+        y_cuts = np.asarray(y_cuts, np.int64)
+
+        def monotone(cuts, res):
+            """Strictly increasing cuts in [1, res-1]: every slab/band must
+            own >= 1 cell — an EMPTY slab breaks the mesh-adjacency =
+            cell-adjacency contract the 1-hop halo/migration ppermutes
+            rely on (cell-neighbor shards must be mesh neighbors)."""
+            cuts = np.sort(cuts)
+            k = len(cuts)
+            if k == 0:
+                return cuts
+            for i in range(k):  # forward: strictly increasing, >= 1
+                lo = 1 if i == 0 else cuts[i - 1] + 1
+                cuts[i] = max(cuts[i], lo)
+            for i in range(k - 1, -1, -1):  # backward: room for the rest
+                hi = res - (k - i)
+                cuts[i] = min(cuts[i], hi)
+            assert (np.diff(cuts) > 0).all() and cuts[0] >= 1, cuts
+            return cuts
+
+        x_cuts = monotone(x_cuts, res_x)
+        y_cuts = monotone(y_cuts, res_y)
+        tbl_sx = np.searchsorted(x_cuts, np.arange(res_x), side="right")
+        tbl_sy = np.searchsorted(y_cuts, np.arange(res_y), side="right")
+        xb = np.concatenate([[0], x_cuts, [res_x]]).astype(np.int32)
+        yb = np.concatenate([[0], y_cuts, [res_y]]).astype(np.int32)
+        self._tbl_sx = jnp.asarray(tbl_sx, jnp.int32)
+        self._tbl_sy = jnp.asarray(tbl_sy, jnp.int32)
+        self._xlo, self._xhi = jnp.asarray(xb[:-1]), jnp.asarray(xb[1:])
+        self._ylo, self._yhi = jnp.asarray(yb[:-1]), jnp.asarray(yb[1:])
+
+    def _shard_of(self, coords: jax.Array, act: jax.Array):
+        """(sx, sy) of each particle's cell (inactive rows get (0, 0) —
+        callers mask)."""
+        sx = self._tbl_sx[jnp.clip(coords[:, 0], 0, self._tbl_sx.shape[0] - 1)]
+        sy = self._tbl_sy[jnp.clip(coords[:, 1], 0, self._tbl_sy.shape[0] - 1)]
+        z = jnp.zeros_like(sx)
+        return jnp.where(act, sx, z), jnp.where(act, sy, z)
+
+    def _count_shards(self, state: SimState) -> jax.Array:
+        """(n_shards,) active-particle counts under the current cuts."""
+        spec, Sy = self.spec, self.Sy
+
+        @jax.jit
+        def _go(st: SimState):
+            coords = gridops.cell_coords(st.x, spec)
+            act = st.material != MATERIAL_INVALID
+            sx, sy = self._shard_of(coords, act)
+            return jax.ops.segment_sum(
+                act.astype(jnp.int32), sx * Sy + sy,
+                num_segments=self.n_shards,
+            )
+
+        return _go(state)
+
+    # -- initial / rebalance distribution --------------------------------
+    def _distribute(self, state: SimState):
+        """Global (shard, id) sort + gather into fixed per-shard slots.
+        Returns (state with per-shard layout, per-shard active counts)."""
+        spec, Sy, rows = self.spec, self.Sy, self._shard_rows
+        S = self.n_shards
+
+        @jax.jit
+        def _go(st: SimState):
+            coords = gridops.cell_coords(st.x, spec)
+            ids = gridops.flat_cell_ids(coords, st.material, spec)
+            act = ids < spec.num_cells
+            sx, sy = self._shard_of(coords, act)
+            shard = jnp.where(act, sx * Sy + sy, S)
+            iota = jnp.arange(st.capacity, dtype=jnp.int32)
+            sh_s, ids_s, perm = jax.lax.sort(
+                (shard, ids, iota), num_keys=2, is_stable=True
+            )
+            starts = jnp.searchsorted(
+                sh_s, jnp.arange(S + 1, dtype=jnp.int32), side="left"
+            ).astype(jnp.int32)
+            counts = starts[1:] - starts[:-1]
+            q = jnp.arange(st.capacity, dtype=jnp.int32)
+            s_q, r_q = q // rows, q % rows
+            src_sorted = starts[s_q] + r_q
+            valid = r_q < counts[s_q]
+            src = jnp.where(valid, perm[jnp.clip(src_sorted, 0, st.capacity - 1)], 0)
+
+            def place(a):
+                if getattr(a, "ndim", 0) < 1:
+                    return a
+                out = jnp.take(a, src, axis=0)
+                fill = MATERIAL_INVALID if jnp.issubdtype(a.dtype, jnp.integer) else 0
+                v = valid if a.ndim == 1 else valid[:, None]
+                return jnp.where(v, out, fill)
+
+            new = {
+                f.name: place(getattr(st, f.name))
+                for f in dataclasses.fields(st)
+                if getattr(getattr(st, f.name), "ndim", 0) >= 1
+            }
+            return dataclasses.replace(st, **new), counts
+
+        return _go(state)
+
+    def _measure_buffers(self, state: SimState) -> None:
+        """Halo / migration buffer row caps from the worst shard's 1-cell
+        boundary layers of the CURRENT distribution (device-side counts;
+        regrow_buffers doubles them when occ_halo trips at runtime)."""
+        spec, Sy = self.spec, self.Sy
+
+        @jax.jit
+        def _layers(st: SimState):
+            coords = gridops.cell_coords(st.x, spec)
+            act = st.material != MATERIAL_INVALID
+            sx, sy = self._shard_of(coords, act)
+            shard = sx * Sy + sy
+            cx, cy = coords[:, 0], coords[:, 1]
+            y_top = act & (cy == self._yhi[sy] - 1)
+            y_bot = act & (cy == self._ylo[sy])
+
+            def counts(mask):
+                return jax.ops.segment_sum(
+                    mask.astype(jnp.int32), shard, num_segments=self.n_shards
+                ).reshape(self.Sx, Sy)
+
+            # the x-select pool at shard (sx, sy) is cat1 = own rows PLUS
+            # the received y-halo (the band-edge layers of (sx, sy∓1)) —
+            # measuring own edge-column rows alone undercounts by the
+            # corner share and silently drops corner cells when the buffer
+            # clips (the round-5 2x4 divergence bug: m_xp = 450 > cap 384
+            # measured own-only)
+            def x_pool(x_edge):
+                own = counts(x_edge)
+                from_below = counts(x_edge & y_top)   # rides to (sx, sy+1)
+                from_above = counts(x_edge & y_bot)   # rides to (sx, sy-1)
+                pool = own
+                pool = pool.at[:, 1:].add(from_below[:, :-1])
+                pool = pool.at[:, :-1].add(from_above[:, 1:])
+                return jnp.max(pool)
+
+            x_r = act & (cx == self._xhi[sx] - 1)
+            x_l = act & (cx == self._xlo[sx])
+            return (jnp.max(counts(y_top)), jnp.max(counts(y_bot)),
+                    x_pool(x_r), x_pool(x_l))
+
+        yt, yb, xr, xl = [int(v) for v in jax.device_get(_layers(state))]
+        sl = self.buffer_slack
+
+        def cap(v):
+            return max(128, -(-int(v * sl) // 128) * 128)
+
+        self.cap_hy = cap(max(yt, yb))
+        self.cap_hx = cap(max(xr, xl))
+        self.cap_my = self.cap_hy
+        self.cap_mx = self.cap_hx
+
+    # ------------------------------------------------------------------
+    # shard-local helpers (traced inside shard_map)
+    # ------------------------------------------------------------------
+    def _stack(self, chans):
+        """list of (n,) columns -> (n, C) f32 (lossless bitcasts)."""
+        return jnp.stack([_f32(c) for c in chans], axis=1)
+
+    def _cols_of(self, mat, dtypes):
+        out = []
+        for k, dt in enumerate(dtypes):
+            c = mat[:, k]
+            out.append(c if dt == jnp.float32
+                       else jax.lax.bitcast_convert_type(c, dt))
+        return out
+
+    @staticmethod
+    def _select_rows(mat, mask, cap, id_col, mat_col):
+        """Compact the masked rows of ``mat`` into a (cap, C) buffer.
+        Invalid lanes get sentinel-id / INVALID-material columns (values
+        are clamped junk — masked-lane garbage by design).  Returns
+        (buffer, gather_idx, overflow_rows)."""
+        n = mat.shape[0]
+        big = jnp.int32(np.iinfo(np.int32).max)
+        iota = jnp.arange(n, dtype=jnp.int32)
+        key = jnp.where(mask, iota, big)
+        sk, si = jax.lax.sort_key_val(key, iota, is_stable=True)
+        idx = si[:cap]
+        valid = sk[:cap] < big
+        buf = jnp.take(mat, idx, axis=0)
+        ids = jax.lax.bitcast_convert_type(buf[:, id_col], jnp.int32)
+        mats = jax.lax.bitcast_convert_type(buf[:, mat_col], jnp.int32)
+        buf = buf.at[:, id_col].set(_f32(jnp.where(valid, ids, big)))
+        buf = buf.at[:, mat_col].set(
+            _f32(jnp.where(valid, mats, MATERIAL_INVALID))
+        )
+        ovf = jnp.maximum(jnp.sum(mask.astype(jnp.int32)) - cap, 0)
+        return buf, idx, ovf
+
+    def _neutralize(self, buf, has_sender, id_col, mat_col):
+        """Zero-filled ppermute results on mesh-edge shards decode as cell
+        id 0 / material BOUNDARY — force their id/material columns inert."""
+        big = jnp.int32(np.iinfo(np.int32).max)
+        ids = jax.lax.bitcast_convert_type(buf[:, id_col], jnp.int32)
+        mats = jax.lax.bitcast_convert_type(buf[:, mat_col], jnp.int32)
+        buf = buf.at[:, id_col].set(_f32(jnp.where(has_sender, ids, big)))
+        buf = buf.at[:, mat_col].set(
+            _f32(jnp.where(has_sender, mats, MATERIAL_INVALID))
+        )
+        return buf
+
+    # ------------------------------------------------------------------
+    # build / apply (the _seg protocol SolverBase.rollout amortizes)
+    # ------------------------------------------------------------------
+    def _seg_build(self, state: SimState):
+        from tisph_tpu.ops.pallas import sweeps as ps
+
+        spec, scfg = self.spec, self.sweep_cfg
+        ax_x, ax_y, Sx, Sy = self.ax_x, self.ax_y, self.Sx, self.Sy
+        rows = self._shard_rows
+        block = scfg.block_size
+        block_cap = scfg.pad_capacity // block
+        Hx, Hy = self.cap_hx, self.cap_hy
+        Mx, My = self.cap_mx, self.cap_my
+        axes2 = (ax_x, ax_y)
+        pspec = P(axes2)
+        layout = _payload_layout(state)
+        dtypes = []
+        col_ix = {}
+        for name, k, dt in layout:
+            col_ix[name] = len(dtypes) + 1  # +1: ids ride column 0
+            dtypes.extend([dt] * k)
+        dtypes = [jnp.int32] + dtypes  # ids column
+        IDC = 0
+        MATC = col_ix["material"]
+        XC = col_ix["x"]
+        dim = state.dim
+        fwd_x = [(i, i + 1) for i in range(Sx - 1)]
+        bwd_x = [(i + 1, i) for i in range(Sx - 1)]
+        fwd_y = [(i, i + 1) for i in range(Sy - 1)]
+        bwd_y = [(i + 1, i) for i in range(Sy - 1)]
+        big = jnp.int32(np.iinfo(np.int32).max)
+        sentinel = spec.num_cells
+
+        def cols_of_state(st):
+            out = []
+            for name, k, _ in layout:
+                a = getattr(st, name)
+                out.extend([a] if a.ndim == 1 else [a[:, c] for c in range(k)])
+            return out
+
+        def decode(mat):
+            """(ids, coords, material) from a payload matrix."""
+            ids = jax.lax.bitcast_convert_type(mat[:, IDC], jnp.int32)
+            x = mat[:, XC:XC + dim]
+            coords = gridops.cell_coords(x, spec)
+            material = jax.lax.bitcast_convert_type(mat[:, MATC], jnp.int32)
+            return ids, coords, material
+
+        def migrate_axis(mat, d, axis_name, cap, fwd, bwd):
+            """Move rows with d==+1 / d==-1 to the ring neighbors along
+            ``axis_name`` via two fixed-cap buffers; departed rows are
+            neutralized in place, received buffers appended.  Returns
+            ((n+2*cap, C) matrix, overflow_rows)."""
+            act = jax.lax.bitcast_convert_type(mat[:, IDC], jnp.int32) < sentinel
+            m_p = act & (d == 1)
+            m_m = act & (d == -1)
+            buf_p, _, ovf_p = self._select_rows(mat, m_p, cap, IDC, MATC)
+            buf_m, _, ovf_m = self._select_rows(mat, m_m, cap, IDC, MATC)
+            # neutralize departed rows in place
+            gone = m_p | m_m
+            ids0 = jax.lax.bitcast_convert_type(mat[:, IDC], jnp.int32)
+            mats0 = jax.lax.bitcast_convert_type(mat[:, MATC], jnp.int32)
+            mat = mat.at[:, IDC].set(_f32(jnp.where(gone, big, ids0)))
+            mat = mat.at[:, MATC].set(
+                _f32(jnp.where(gone, MATERIAL_INVALID, mats0))
+            )
+            idx = jax.lax.axis_index(axis_name)
+            size = Sx if axis_name == ax_x else Sy
+            in_p = jax.lax.ppermute(buf_p, axis_name, fwd)   # from idx-1
+            in_m = jax.lax.ppermute(buf_m, axis_name, bwd)   # from idx+1
+            in_p = self._neutralize(in_p, idx - 1 >= 0, IDC, MATC)
+            in_m = self._neutralize(in_m, idx + 1 < size, IDC, MATC)
+            return jnp.concatenate([mat, in_p, in_m]), ovf_p + ovf_m
+
+        n_cols = len(cols_of_state(state))
+        out_specs = (
+            (pspec,) * n_cols             # kept state columns
+            + (pspec,) * 7                # ids_l, idx_yp, idx_ym, idx_xp,
+            #                               idx_xm, perm_e, ids_e
+            + (ps.SegMeta(pspec, pspec, pspec), pspec)  # meta, back_valid
+            + (P(),) * 5                  # need, pad_need, cnt, anom, ovf
+        )
+
+        @partial(jax.shard_map, mesh=self.mesh,
+                 in_specs=(pspec,) * n_cols, out_specs=out_specs,
+                 check_vma=False)
+        def build_shard(*cols_l):
+            sxi = jax.lax.axis_index(ax_x)
+            syi = jax.lax.axis_index(ax_y)
+            # assemble payload (+ids col 0)
+            xs = jnp.stack(cols_l[XC - 1:XC - 1 + dim], axis=1)
+            material = cols_l[MATC - 1]
+            coords = gridops.cell_coords(xs, spec)
+            ids = gridops.flat_cell_ids(coords, material, spec)
+            mat0 = self._stack([ids, *cols_l])
+
+            # ---- migration (x then y) ----
+            act = ids < sentinel
+            tsx, tsy0 = self._shard_of(coords, act)
+            dx = jnp.where(act, tsx - sxi, 0)
+            anom = jnp.sum((jnp.abs(dx) > 1).astype(jnp.int32))
+            mat1, ovf_x = migrate_axis(
+                mat0, jnp.clip(dx, -1, 1), ax_x, Mx, fwd_x, bwd_x
+            )
+            ids1, coords1, _ = decode(mat1)
+            act1 = ids1 < sentinel
+            tsx1, tsy1 = self._shard_of(coords1, act1)
+            dy = jnp.where(act1, tsy1 - syi, 0)
+            anom = anom + jnp.sum((jnp.abs(dy) > 1).astype(jnp.int32))
+            mat2, ovf_y = migrate_axis(
+                mat1, jnp.clip(dy, -1, 1), ax_y, My, fwd_y, bwd_y
+            )
+
+            # ---- local sort by cell id + fixed cut ----
+            ids2 = jax.lax.bitcast_convert_type(mat2[:, IDC], jnp.int32)
+            # neutralized/invalid rows carry i32max — remap to the grid
+            # sentinel so downstream bounds stay in [0, num_cells]
+            ids2 = jnp.where(ids2 >= sentinel, sentinel, ids2)
+            iota2 = jnp.arange(mat2.shape[0], dtype=jnp.int32)
+            ids_s, si = jax.lax.sort_key_val(ids2, iota2, is_stable=True)
+            kept = jnp.take(mat2, si[:rows], axis=0)
+            ids_l = ids_s[:rows]
+            kept = kept.at[:, IDC].set(_f32(ids_l))
+            cnt = jnp.sum((ids2 < sentinel).astype(jnp.int32))
+
+            # ---- seg plan over the local rows ----
+            bounds_l = gridops.csr_bounds_fast(
+                ids_l, spec, interpret=scfg.interpret
+            )
+            plan = gridops.seg_plan(ids_l, spec, block, block_cap,
+                                    bounds=bounds_l)
+
+            # ---- halo: y stage then x stage (corners ride x) ----
+            _, coords_k, _ = decode(kept)
+            cy_k = coords_k[:, 1]
+            cx_k = coords_k[:, 0]
+            act_k = ids_l < sentinel
+            yhi = self._yhi[syi]
+            ylo = self._ylo[syi]
+            m_yp = act_k & (cy_k == yhi - 1)
+            m_ym = act_k & (cy_k == ylo)
+            buf_yp, idx_yp, o1 = self._select_rows(kept, m_yp, Hy, IDC, MATC)
+            buf_ym, idx_ym, o2 = self._select_rows(kept, m_ym, Hy, IDC, MATC)
+            y_in_p = jax.lax.ppermute(buf_yp, ax_y, fwd_y)
+            y_in_m = jax.lax.ppermute(buf_ym, ax_y, bwd_y)
+            y_in_p = self._neutralize(y_in_p, syi - 1 >= 0, IDC, MATC)
+            y_in_m = self._neutralize(y_in_m, syi + 1 < Sy, IDC, MATC)
+            cat1 = jnp.concatenate([kept, y_in_p, y_in_m])
+
+            ids_c1, coords_c1, _ = decode(cat1)
+            act_c1 = ids_c1 < sentinel
+            xhi = self._xhi[sxi]
+            xlo = self._xlo[sxi]
+            m_xp = act_c1 & (coords_c1[:, 0] == xhi - 1)
+            m_xm = act_c1 & (coords_c1[:, 0] == xlo)
+            buf_xp, idx_xp, o3 = self._select_rows(cat1, m_xp, Hx, IDC, MATC)
+            buf_xm, idx_xm, o4 = self._select_rows(cat1, m_xm, Hx, IDC, MATC)
+            x_in_p = jax.lax.ppermute(buf_xp, ax_x, fwd_x)
+            x_in_m = jax.lax.ppermute(buf_xm, ax_x, bwd_x)
+            x_in_p = self._neutralize(x_in_p, sxi - 1 >= 0, IDC, MATC)
+            x_in_m = self._neutralize(x_in_m, sxi + 1 < Sx, IDC, MATC)
+            ext = jnp.concatenate([cat1, x_in_p, x_in_m])
+
+            # ---- id-merge of the extended array ----
+            ids_ext = jax.lax.bitcast_convert_type(ext[:, IDC], jnp.int32)
+            ids_ext = jnp.where(ids_ext >= sentinel, sentinel, ids_ext)
+            iota_e = jnp.arange(ext.shape[0], dtype=jnp.int32)
+            ids_e, perm_e = jax.lax.sort_key_val(ids_ext, iota_e,
+                                                 is_stable=True)
+            bounds_e = gridops.csr_bounds_fast(
+                ids_e, spec, interpret=scfg.interpret
+            )
+            meta, need = ps.seg_block_meta(
+                plan, ids_e, spec, block, scfg.window_cap, bounds=bounds_e,
+                sub=1, own_ids=ids_l,
+            )
+
+            # ---- fold diagnostics over the whole mesh ----
+            need = jax.lax.pmax(need.astype(jnp.int32), axes2)
+            pad_need = jax.lax.pmax(
+                (plan.need_blocks * block).astype(jnp.int32), axes2
+            )
+            cnt = jax.lax.pmax(cnt, axes2)
+            anom = jax.lax.pmax(anom + ovf_x + ovf_y, axes2)
+            ovf = jax.lax.pmax(o1 + o2 + o3 + o4, axes2)
+
+            kept_cols = tuple(self._cols_of(kept[:, 1:], dtypes[1:]))
+            return (kept_cols
+                    + (ids_l, idx_yp, idx_ym, idx_xp, idx_xm, perm_e, ids_e)
+                    + (meta, plan.back_valid)
+                    + (need, pad_need, cnt, anom, ovf))
+
+        outs = build_shard(*cols_of_state(state))
+        kept_cols = outs[:n_cols]
+        (ids_l, idx_yp, idx_ym, idx_xp, idx_xm, perm_e, ids_e,
+         meta, back_valid, need, pad_need, cnt, anom, ovf) = outs[n_cols:]
+
+        # rebuild state fields from the kept columns
+        new_fields = {}
+        o = 0
+        for name, k, _ in layout:
+            cs = kept_cols[o:o + k]
+            o += k
+            new_fields[name] = cs[0] if k == 1 else jnp.stack(cs, axis=1)
+        state = dataclasses.replace(state, **new_fields)
+        state = jax.tree.map(
+            lambda a: jax.lax.with_sharding_constraint(
+                a, self._sharding if getattr(a, "ndim", 0) >= 1 else self._replicated
+            ),
+            state,
+        )
+        state = self._track_occ(state, need)
+        state = dataclasses.replace(
+            state,
+            occ_rowpad=jnp.maximum(
+                jnp.asarray(state.occ_rowpad, jnp.int32), pad_need
+            ),
+            occ_shard=jnp.maximum(
+                jnp.asarray(state.occ_shard, jnp.int32), cnt
+            ),
+            occ_resort=jnp.asarray(state.occ_resort, jnp.int32)
+            + (anom > 0).astype(jnp.int32),
+            occ_halo=jnp.maximum(
+                jnp.asarray(state.occ_halo, jnp.int32), (ovf > 0).astype(jnp.int32)
+            ),
+        )
+        cache = (meta, back_valid, ids_l, ids_e, perm_e,
+                 idx_yp, idx_ym, idx_xp, idx_xm)
+        return state, cache
+
+    def _seg_apply(self, state: SimState, cache) -> SimState:
+        """One physics substep against the cached structure: cached-index
+        value gathers + 4 ppermutes per exchange (×2 exchanges around the
+        EOS barrier), then the seg sweeps with the local pack as the
+        separate i side."""
+        from tisph_tpu.ops.pallas import sweeps as ps
+
+        spec, params, scfg = self.spec, self.params, self.sweep_cfg
+        ax_x, ax_y = self.ax_x, self.ax_y
+        (meta, back_valid, ids_l, ids_e, perm_e,
+         idx_yp, idx_ym, idx_xp, idx_xm) = cache
+        pspec = P((ax_x, ax_y))
+        fwd_x = [(i, i + 1) for i in range(self.Sx - 1)]
+        bwd_x = [(i + 1, i) for i in range(self.Sx - 1)]
+        fwd_y = [(i, i + 1) for i in range(self.Sy - 1)]
+        bwd_y = [(i + 1, i) for i in range(self.Sy - 1)]
+        dim = state.dim
+        kw = dict(tile=scfg.tile, interpret=scfg.interpret,
+                  fast_math=scfg.fast_math)
+
+        def sweep_shard(mode, ids_l_c, ids_e_c, perm_e_c,
+                        iyp, iym, ixp, ixm, meta_c, bval, *fields):
+            f_local = dict(zip(_FIELD_KEYS, fields))
+            cols = []
+            for k in _FIELD_KEYS:
+                a = f_local[k]
+                cols.extend([a] if a.ndim == 1 else
+                            [a[:, c] for c in range(a.shape[1])])
+            dts = [c.dtype for c in cols]
+            mat = self._stack(cols)
+            y_in_p = jax.lax.ppermute(jnp.take(mat, iyp, axis=0), ax_y, fwd_y)
+            y_in_m = jax.lax.ppermute(jnp.take(mat, iym, axis=0), ax_y, bwd_y)
+            cat1 = jnp.concatenate([mat, y_in_p, y_in_m])
+            x_in_p = jax.lax.ppermute(jnp.take(cat1, ixp, axis=0), ax_x, fwd_x)
+            x_in_m = jax.lax.ppermute(jnp.take(cat1, ixm, axis=0), ax_x, bwd_x)
+            ext = jnp.take(
+                jnp.concatenate([cat1, x_in_p, x_in_m]), perm_e_c, axis=0
+            )
+            ecols = self._cols_of(ext, dts)
+            f_ext, o = {}, 0
+            for k in _FIELD_KEYS:
+                w = 1 if f_local[k].ndim == 1 else f_local[k].shape[1]
+                f_ext[k] = (ecols[o] if w == 1
+                            else jnp.stack(ecols[o:o + w], axis=1))
+                o += w
+            pack_ext = ps.pack_state(
+                f_ext["x"], f_ext["v"], f_ext["density"], f_ext["pressure"],
+                f_ext["mass"], f_ext["volume"], f_ext["material"], ids_e_c,
+                params,
+            )
+            pack_own = ps.pack_state(
+                f_local["x"], f_local["v"], f_local["density"],
+                f_local["pressure"], f_local["mass"], f_local["volume"],
+                f_local["material"], ids_l_c, params,
+            )
+            fn = (ps.density_sweep_seg if mode == "density"
+                  else ps.force_sweep_seg)
+            out = fn(pack_ext, meta_c, spec, params, scfg.block_size,
+                     scfg.window_cap, ipack=pack_own, **kw)
+            fluid = f_local["material"] == 1
+            if mode == "density":
+                return jnp.where(bval & fluid, out, f_local["density"])
+            return jnp.where((bval & fluid)[:, None], out, 0.0)
+
+        meta_spec = ps.SegMeta(pspec, pspec, pspec)
+        in_specs = (pspec,) * 7 + (meta_spec, pspec) + (pspec,) * len(_FIELD_KEYS)
+
+        @partial(jax.shard_map, mesh=self.mesh, in_specs=in_specs,
+                 out_specs=pspec, check_vma=False)
+        def density_shard(*args):
+            return sweep_shard("density", *args)
+
+        @partial(jax.shard_map, mesh=self.mesh, in_specs=in_specs,
+                 out_specs=pspec, check_vma=False)
+        def force_shard(*args):
+            return sweep_shard("force", *args)
+
+        f = F.state_fields(state)
+        density = density_shard(
+            ids_l, ids_e, perm_e, idx_yp, idx_ym, idx_xp, idx_xm,
+            meta, back_valid, *[f[k] for k in _FIELD_KEYS],
+        )
+        rho, pressure = tait_pressure(
+            density, params.density0, params.stiffness, params.exponent
+        )
+        state = dataclasses.replace(state, density=rho, pressure=pressure)
+        f = F.state_fields(state)
+        d_velocity = force_shard(
+            ids_l, ids_e, perm_e, idx_yp, idx_ym, idx_xp, idx_xm,
+            meta, back_valid, *[f[k] for k in _FIELD_KEYS],
+        )
+        state = F.advect(state, d_velocity, params)
+        return F.enforce_domain_boundary(state, params)
+
+    def _step_fn(self, state: SimState) -> SimState:
+        state, cache = self._seg_build(state)
+        return self._seg_apply(state, cache)
+
+    # ------------------------------------------------------------------
+    # runtime adaptation
+    # ------------------------------------------------------------------
+    def regrow_buffers(self, factor: float = 2.0) -> None:
+        """Deepen the halo/migration buffer caps (occ_halo tripped: some
+        1-cell layer outgrew its buffer) and drop compiled artifacts."""
+        for name in ("cap_hx", "cap_hy", "cap_mx", "cap_my"):
+            v = int(getattr(self, name) * factor)
+            setattr(self, name, max(128, -(-v // 128) * 128))
+        for name in [k for k in vars(self) if k.endswith("_jit")]:
+            setattr(self, name, None)
+
+    def rebalance(self, state: SimState) -> SimState:
+        """Re-cut the shard rectangles at the CURRENT distribution's
+        quantiles and redistribute (occ_shard approaching shard_rows:
+        the flow drifted from the bind-time cuts).  Host-side recompile;
+        only quantile scalars cross the device boundary."""
+        self._make_cuts(state)
+        state, counts = self._distribute(state)
+        worst = int(jax.device_get(jnp.max(counts)))
+        if worst > self._shard_rows:
+            raise RuntimeError(
+                f"rebalance still overflows a shard ({worst} > "
+                f"{self._shard_rows}); re-bind with a larger balance_slack"
+            )
+        self._measure_buffers(state)
+        for name in [k for k in vars(self) if k.endswith("_jit")]:
+            setattr(self, name, None)
+        return self.shard_state(
+            dataclasses.replace(state, occ_shard=jnp.zeros((), jnp.int32))
+        )
+
+    def run(
+        self,
+        state: SimState,
+        num_steps: int,
+        check_every: int = 400,
+        grow: float = 1.5,
+        verbose: bool = False,
+        max_dispatch: int = 400,
+        warn_frac: float = 0.9,
+    ) -> SimState:
+        """Chunked rollout with the 2-D adaptation loop: window/pad regrow
+        (as 1-D), buffer regrow on occ_halo, quantile rebalance when
+        occ_shard nears the per-shard row budget, hard error if the
+        migration cut ever dropped a particle (occ_shard > shard_rows —
+        by then state is corrupt, so this is an abort, not a retry)."""
+        done = 0
+        chunk = max(1, min(check_every, max_dispatch))
+        while done < num_steps:
+            k = min(chunk, num_steps - done)
+            state = self.rollout(state, k)
+            done += k
+            occ_sh = int(jax.device_get(state.occ_shard))
+            if occ_sh > self._shard_rows:
+                raise RuntimeError(
+                    f"2-D migration dropped particles: a shard needed "
+                    f"{occ_sh} rows > budget {self._shard_rows}; rerun with "
+                    "a larger balance_slack or more shards"
+                )
+            if occ_sh > warn_frac * self._shard_rows:
+                if verbose:
+                    print(f"[tisph] shard occupancy {occ_sh}/"
+                          f"{self._shard_rows}; rebalancing cuts (recompile)")
+                state = self.rebalance(state)
+            if int(jax.device_get(state.occ_halo)):
+                old = (self.cap_hx, self.cap_hy)
+                self.regrow_buffers()
+                if verbose:
+                    print(f"[tisph] 2-D halo/migration buffer overflow at "
+                          f"caps {old}; deepened to "
+                          f"({self.cap_hx}, {self.cap_hy}) (recompile)")
+            occ = int(jax.device_get(state.occ_window))
+            cap = self._occ_cap()
+            if cap and occ > warn_frac * cap:
+                self.regrow(int(max(occ, cap) * grow))
+                if verbose:
+                    print(f"[tisph] window occupancy {occ} vs cap {cap}; "
+                          f"re-capacitated to {self.sweep_cfg.window_cap}")
+            pad_occ = int(jax.device_get(state.occ_rowpad))
+            pad_cap = int(self.sweep_cfg.pad_capacity)
+            if pad_cap and pad_occ > warn_frac * pad_cap:
+                self.regrow(new_pad=int(max(pad_occ, pad_cap) * grow))
+                if verbose:
+                    print(f"[tisph] seg block occupancy {pad_occ} over cap "
+                          f"{pad_cap}; re-capacitated")
+            state = dataclasses.replace(
+                state,
+                occ_window=jnp.zeros((), jnp.int32),
+                occ_halo=jnp.zeros((), jnp.int32),
+                occ_rowpad=jnp.zeros((), jnp.int32),
+                occ_resort=jnp.zeros((), jnp.int32),
+                occ_shard=jnp.zeros((), jnp.int32),
+            )
+        return state
+
+    def metrics(self, state: SimState) -> dict[str, jax.Array]:
+        params = self.params
+        cfg = self.sweep_cfg
+        if getattr(self, "_metrics_jit", None) is None:
+            @jax.jit
+            def _metrics(st: SimState):
+                fluid = st.fluid_mask
+                speed = jnp.sqrt(jnp.sum(st.v * st.v, axis=-1))
+                vmax = jnp.max(jnp.where(fluid, speed, 0.0))
+                rho_err = jnp.where(
+                    fluid,
+                    jnp.abs(st.density - params.density0) / params.density0,
+                    0.0,
+                )
+                nf = jnp.maximum(jnp.sum(fluid), 1)
+                return {
+                    "max_velocity": vmax,
+                    "cfl": vmax * params.dt / params.support_length,
+                    "avg_density_error": jnp.sum(rho_err) / nf,
+                    "max_density_error": jnp.max(rho_err),
+                    "num_active": jnp.sum(st.material != MATERIAL_INVALID),
+                    "nan_count": jnp.sum(~jnp.isfinite(st.x))
+                    + jnp.sum(~jnp.isfinite(st.v)),
+                    "max_run_length": jnp.asarray(st.occ_window, jnp.int32),
+                    "occ_halo": jnp.asarray(st.occ_halo, jnp.int32),
+                    "seg_pad_occ": jnp.asarray(st.occ_rowpad, jnp.int32),
+                    "migrate_anomalies": jnp.asarray(st.occ_resort, jnp.int32),
+                    "shard_rows_used": jnp.asarray(st.occ_shard, jnp.int32),
+                }
+
+            self._metrics_jit = _metrics
+        out = dict(self._metrics_jit(state))
+        out["run_cap"] = jnp.asarray(self._occ_cap(), jnp.int32)
+        out["shard_rows"] = jnp.asarray(self._shard_rows or 0, jnp.int32)
+        out["seg_pad_cap"] = jnp.asarray(
+            cfg.pad_capacity if cfg is not None else 0, jnp.int32
+        )
+        out["halo_buf_rows"] = jnp.asarray(
+            (self.cap_hx or 0) + (self.cap_hy or 0), jnp.int32
+        )
+        return out

@@ -151,6 +151,14 @@ def main():
     ap.add_argument("--devices", type=int, default=8)
     ap.add_argument("--radius", type=float, default=0.02)
     ap.add_argument("--resort", type=int, default=2)
+    ap.add_argument("--extent", type=float, default=1.0,
+                    help="stretch the domain/fluid in x by this factor "
+                    "(a long channel keeps the exchange-resort edge and "
+                    "the 1-D halo below shard_rows — the production "
+                    "regime, VERDICT r4 #2)")
+    ap.add_argument("--mesh2d", default=None, metavar="SXxSY",
+                    help="measure the 2-D decomposition (ShardedWCSPH2D) "
+                    "on an SXxSY mesh instead of the 1-D slab solver")
     args = ap.parse_args()
 
     flags = os.environ.get("XLA_FLAGS", "")
@@ -164,21 +172,76 @@ def main():
 
     import tisph_tpu as tt
     from tisph_tpu.ops.neighbors import SweepConfig
-    from tisph_tpu.parallel import ShardedWCSPH, make_mesh
+    from tisph_tpu.parallel import (
+        ShardedWCSPH, ShardedWCSPH2D, make_mesh, make_mesh2d,
+    )
 
+    ex = args.extent
     scene = tt.scene_from_dict({
         "configuration": {
             "dim": 3, "domainStart": [0.0, 0.0, 0.0],
-            "domainEnd": [1.0, 1.0, 1.0], "particleRadius": args.radius,
+            "domainEnd": [ex, 1.0, 1.0], "particleRadius": args.radius,
             "density0": 1000, "gravitation": [0.0, -9.81, 0.0], "c_s": 50.0,
         },
         "fluidBlocks": [
-            {"start": [0.1, 0.1, 0.1], "end": [0.9, 0.6, 0.9],
+            {"start": [0.1, 0.1, 0.1], "end": [ex - 0.1, 0.6, 0.9],
              "velocity": [0.0, -0.5, 0.2], "density": 1000.0,
              "color": [50, 100, 200]}
         ],
         "rigidBodies": [],
     })
+    if args.mesh2d:
+        sx, sy = map(int, args.mesh2d.lower().split("x"))
+        if sx * sy != args.devices:
+            raise SystemExit(f"--mesh2d {args.mesh2d} != {args.devices} devices")
+        mesh2 = make_mesh2d(sx, sy)
+        cfg = SweepConfig(
+            impl="pallas", block_size=128, window_cap=1152, tile=128,
+            interpret=True, layout="seg", resort_every=args.resort,
+        )
+        solver = ShardedWCSPH2D(scene, mesh2, sweep_cfg=cfg)
+        state = solver.bind(tt.build_state(scene))
+        import jax.numpy as jnp
+        n = int(jax.device_get(jnp.sum(state.material != -1)))
+        res = {"devices": args.devices, "mesh2d": [sx, sy]}
+
+        def report(name, fn, nsub):
+            compiled = jax.jit(fn).lower(state).compile()
+            cb = collective_bytes(compiled.as_text())
+            steady = sum(d["bytes"] for d in cb["steady"].values())
+            fallback = sum(d["bytes"] for d in cb["conditional"].values())
+            print(f"-- {name} (per device, per dispatch):")
+            for k, d in sorted(cb["steady"].items()):
+                print(f"   {k:<20s} x{int(d['count']):3d}  "
+                      f"{d['bytes'] / 1e6:8.3f} MB")
+            print(f"   TOTAL {steady / 1e6:.3f} MB  "
+                  f"(per substep: {steady / 1e6 / nsub:.3f} MB; "
+                  f"+{fallback / 1e6:.3f} MB in conditional branches)")
+            return ({k: d["bytes"] for k, d in cb["steady"].items()}
+                    | {"total": steady, "fallback_branch": fallback})
+
+        print(f"== 2-D mesh {sx}x{sy}: particles={n} "
+              f"shard_rows={solver._shard_rows} "
+              f"bufs Hy={solver.cap_hy} Hx={solver.cap_hx}")
+        rm = {
+            "particles": n, "shard_rows": solver._shard_rows,
+            "cap_hy": solver.cap_hy, "cap_hx": solver.cap_hx,
+        }
+        rm["step"] = report("full step (R=1)", solver._step_fn, 1)
+        R = args.resort
+        if R > 1:
+            def group(s):
+                s, cache = solver._seg_build(s)
+                for _ in range(R):
+                    s = solver._seg_apply(s, cache)
+                return s
+
+            rm[f"group_R{R}"] = report(
+                f"R={R} group (build + {R} substeps)", group, R)
+        res["mesh2d_result"] = rm
+        print(json.dumps(res))
+        return
+
     mesh = make_mesh(args.devices)
     res = {"devices": args.devices}
     for mode in ("global", "exchange"):

@@ -27,6 +27,11 @@ def main() -> int:
     ap.add_argument("--steps", type=int, default=10000)
     ap.add_argument("--resort", type=int, default=2)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--chunk", type=int, default=400,
+                    help="max steps per dispatch — at 1M particles a cold "
+                    "400-step chunk (compile + ~50 s exec) can trip the "
+                    "tunneled runtime's ~60 s watchdog before run()'s "
+                    "adaptive halving gets a wall measurement; use ~100")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke testing)")
     args = ap.parse_args()
@@ -57,7 +62,8 @@ def main() -> int:
     solver.regrow = counting_regrow
 
     t0 = time.perf_counter()
-    state = solver.run(state, args.steps, verbose=True)
+    state = solver.run(state, args.steps, verbose=True,
+                       check_every=args.chunk, max_dispatch=args.chunk)
     jax.block_until_ready(state.x)
     wall = time.perf_counter() - t0
 
