@@ -1,10 +1,13 @@
-"""Multi-chip example: the sharded WCSPH solver over a 1-D device mesh.
+"""Multi-chip example: the sharded WCSPH solver over a 1-D device mesh,
+or the 2-D (x × y) rectangle decomposition via --mesh2d.
 
 On a TPU pod slice this runs across real chips; on a single host use CPU
 device emulation to exercise the same collectives:
 
     XLA_FLAGS=--xla_force_host_platform_device_count=8 \
         python examples/run_sharded.py scenes/demo_3d.json --devices 8 --cpu
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python examples/run_sharded.py scenes/demo_3d.json --mesh2d 4x2 --cpu
 """
 
 from __future__ import annotations
@@ -21,6 +24,9 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("scene")
     ap.add_argument("--devices", type=int, default=None)
+    ap.add_argument("--mesh2d", default=None, metavar="SXxSY",
+                    help="use the 2-D rectangle decomposition "
+                    "(ShardedWCSPH2D) on an SXxSY mesh")
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (for device emulation)")
@@ -32,16 +38,29 @@ def main() -> int:
         jax.config.update("jax_platforms", "cpu")
 
     import tisph_tpu as tt
-    from tisph_tpu.parallel import ShardedWCSPH, make_mesh
+    from tisph_tpu.parallel import (
+        ShardedWCSPH, ShardedWCSPH2D, make_mesh, make_mesh2d,
+    )
 
     scene = tt.load_scene(args.scene)
     state = tt.build_state(scene)
-    mesh = make_mesh(args.devices)
-    print(f"mesh: {mesh.devices.size} devices ({mesh.devices.ravel()[0].platform})")
-    solver = ShardedWCSPH(scene, mesh)
-    state = solver.bind(state)
-    print(f"particles: {int(jax.device_get(state.num_active))}, "
-          f"halo={solver.halo} rows, shard={solver._shard_rows} rows")
+    if args.mesh2d:
+        sx, sy = map(int, args.mesh2d.lower().split("x"))
+        mesh = make_mesh2d(sx, sy)
+        print(f"mesh: {sx}x{sy} ({mesh.devices.ravel()[0].platform})")
+        solver = ShardedWCSPH2D(scene, mesh)
+        state = solver.bind(state)
+        print(f"particles: {int(jax.device_get(state.num_active))}, "
+              f"halo bufs Hy={solver.cap_hy}/Hx={solver.cap_hx} rows, "
+              f"shard={solver._shard_rows} rows")
+    else:
+        mesh = make_mesh(args.devices)
+        print(f"mesh: {mesh.devices.size} devices "
+              f"({mesh.devices.ravel()[0].platform})")
+        solver = ShardedWCSPH(scene, mesh)
+        state = solver.bind(state)
+        print(f"particles: {int(jax.device_get(state.num_active))}, "
+              f"halo={solver.halo} rows, shard={solver._shard_rows} rows")
 
     state = solver.step(state)  # compile
     jax.block_until_ready(state.x)

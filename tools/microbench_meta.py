@@ -176,5 +176,94 @@ if __name__ == "__main__":
 
     if "probe" in _sys.argv:
         probe_sweep()
+    elif "resort" in _sys.argv:
+        pass  # dispatched by the bottom block (probe_resort defined below)
     else:
         main()
+
+
+def probe_resort():
+    """VERDICT r4 #4 probe set: what would a pallas/structured counting-sort
+    permutation actually buy at 195k mid-collapse?  Measures the rebuild's
+    two costs (key sort, bit-packed row gather) and the structural
+    quantities any cheaper scheme must exploit (rank-shift bound W, cell
+    churn).  Run: python tools/microbench_meta.py resort"""
+    scene = tt.load_scene("scenes/demo_3d.json")
+    solver = tt.WCSPH(scene)
+    state = solver.bind(tt.build_state(scene))
+    spec = solver.spec
+    state = solver.rollout(state, 50)  # mid-collapse
+    jax.block_until_ready(state.x)
+    # rebuild-time input = the PREVIOUS rebuild's sorted order advanced by
+    # R substeps: sort now, advance 2, measure the resort of that state
+    st, ids0, _ = jax.jit(lambda s: gridops.sort_state_by_cell(s, spec))(state)
+    st = solver.rollout(st, 2)
+    jax.block_until_ready(st.x)
+    n = st.capacity
+
+    key = jax.jit(
+        lambda s: jax.lax.sort_key_val(
+            gridops.flat_cell_ids(gridops.cell_coords(s.x, spec), s.material, spec),
+            jnp.arange(s.capacity, dtype=jnp.int32),
+            is_stable=True,
+        )
+    )
+    print(f"sort_key_val (n={n})  : {timeit(key, (st,)):7.2f} ms")
+    ids_s, perm = key(st)
+
+    # structural bounds for near-sorted schemes
+    w = int(jax.device_get(jnp.max(jnp.abs(
+        perm - jnp.arange(n, dtype=jnp.int32)))))
+    ids_new = jax.jit(lambda s: gridops.flat_cell_ids(
+        gridops.cell_coords(s.x, spec), s.material, spec))(st)
+    churn = float(jax.device_get(jnp.mean(
+        (ids_new != ids0).astype(jnp.float32))))
+    print(f"rank-shift bound W    : {w} rows ({100.0 * w / n:.1f}% of n)")
+    print(f"cell churn (2 substeps): {100.0 * churn:.2f}% of rows")
+
+    # windowed batched sort (single-chip exchange-resort analog): chunks of
+    # C rows sort [edge | chunk | edge] independently, keep the middle —
+    # exact iff W <= E (seam-guardable like parallel/domain.py)
+    for C, E in ((8192, 1024), (4096, 1024), (16384, 2048)):
+        if n % C:
+            continue
+        B = n // C
+
+        def winsort(i, pm, C=C, E=E, B=B):
+            ext = jnp.stack([
+                jax.lax.dynamic_slice_in_dim(
+                    jnp.pad(i, (E, E), constant_values=np.iinfo(np.int32).max),
+                    b * C, C + 2 * E) for b in range(B)
+            ])
+            exp = jnp.stack([
+                jax.lax.dynamic_slice_in_dim(
+                    jnp.pad(pm, (E, E)), b * C, C + 2 * E) for b in range(B)
+            ])
+            ks, vs = jax.lax.sort_key_val(ext, exp, dimension=1,
+                                          is_stable=True)
+            return ks[:, E:E + C].reshape(-1), vs[:, E:E + C].reshape(-1)
+
+        f = jax.jit(winsort)
+        iota = jnp.arange(n, dtype=jnp.int32)
+        t = timeit(f, (ids_new, iota))
+        ok = bool(jax.device_get(jnp.all(f(ids_new, iota)[0] == ids_s)))
+        print(f"windowed sort C={C:6d} E={E:5d}: {t:7.2f} ms  exact={ok}")
+
+    # the bit-packed row gather (the 2 ms cost) vs alternatives
+    packed = jnp.zeros((n, 15), jnp.float32)
+    g_row = jax.jit(lambda a, p: jnp.take(a, p, axis=0))
+    print(f"row gather (n,15)     : {timeit(g_row, (packed, perm)):7.2f} ms")
+    packT = jnp.zeros((15, n), jnp.float32)
+    g_col = jax.jit(lambda a, p: jnp.take(a, p, axis=1))
+    print(f"lane gather (15,n)    : {timeit(g_col, (packT, perm)):7.2f} ms")
+    # gather fused into the pack transpose (would replace gather+pack)
+    g_fuse = jax.jit(lambda a, p: jnp.take(a, p, axis=0).T)
+    print(f"row gather + transpose: {timeit(g_fuse, (packed, perm)):7.2f} ms")
+
+
+if __name__ == "__main__":
+    import sys as _sys2
+
+    if "resort" in _sys2.argv:
+        probe_resort()
+        raise SystemExit(0)
