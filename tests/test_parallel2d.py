@@ -242,3 +242,49 @@ def test_2d_rejects_non_seg_and_emitters():
             sweep_cfg=SweepConfig(impl="blocked", block_size=128,
                                   window_cap=512),
         ).bind(tt.build_state(scene))
+
+
+def test_2d_migration_anomaly_ratchets_home():
+    """Teleport a block of particles across MULTIPLE shards (beyond the
+    adjacent-shard contract): the clamped migration must flag the anomaly
+    (occ_resort), preserve every particle, and ratchet them one shard per
+    rebuild until home."""
+    scene = _scene()
+    mesh = make_mesh2d(4, 2)
+    s2 = ShardedWCSPH2D(scene, mesh, sweep_cfg=SweepConfig(**_CFG))
+    st = s2.bind(tt.build_state(scene))
+    n0 = int((np.asarray(jax.device_get(st.material)) != -1).sum())
+
+    # teleport shard 0's first active rows to the far-x end of the domain
+    import dataclasses
+
+    x = np.asarray(jax.device_get(st.x)).copy()
+    mat = np.asarray(jax.device_get(st.material))
+    rows = s2._shard_rows
+    sel = np.nonzero(mat[:rows] != -1)[0][:32]
+    x[sel, 0] = 0.95  # far x-slab (several cuts away)
+    st = dataclasses.replace(st, x=jax.numpy.asarray(x))
+    st = s2.shard_state(st)
+
+    anomalies = 0
+    for _ in range(4):  # one rebuild per step; Sx=4 needs <= 3 ratchets
+        st2, _ = jax.jit(s2._seg_build)(st)
+        anomalies += int(jax.device_get(st2.occ_resort))
+        st = st2
+    assert anomalies > 0, "multi-shard teleport must trip the anomaly flag"
+    n1 = int((np.asarray(jax.device_get(st.material)) != -1).sum())
+    assert n1 == n0, "migration must not lose particles"
+    # after enough ratchets every particle sits in its owner shard
+    o = jax.device_get(st)
+    mat = np.asarray(o.material)
+    xs = np.asarray(o.x)
+    spec = s2.spec
+    tbl_sx = np.asarray(s2._tbl_sx)
+    tbl_sy = np.asarray(s2._tbl_sy)
+    res = np.asarray(spec.res)
+    for s in range(s2.n_shards):
+        sl = slice(s * rows, (s + 1) * rows)
+        act = mat[sl] != -1
+        c = np.clip(np.floor(xs[sl] / spec.cell_size).astype(int), 0, res - 1)
+        home = (tbl_sx[c[:, 0]] == s // s2.Sy) & (tbl_sy[c[:, 1]] == s % s2.Sy)
+        assert (home | ~act).all(), f"shard {s} still holds ratcheting rows"
