@@ -288,3 +288,50 @@ def test_2d_migration_anomaly_ratchets_home():
         c = np.clip(np.floor(xs[sl] / spec.cell_size).astype(int), 0, res - 1)
         home = (tbl_sx[c[:, 0]] == s // s2.Sy) & (tbl_sy[c[:, 1]] == s % s2.Sy)
         assert (home | ~act).all(), f"shard {s} still holds ratcheting rows"
+
+
+def test_2d_migration_buffer_overflow_is_lossless():
+    """When a migration buffer overflows, the rows beyond the cap must
+    STAY in place (flagged, retried next rebuild) — neutralizing every
+    departing row would silently destroy the overflow (round-5 review
+    fix).  Force it by shrinking the migration caps to the minimum."""
+    scene = _scene()
+    mesh = make_mesh2d(2, 4)
+    s2 = ShardedWCSPH2D(scene, mesh, sweep_cfg=SweepConfig(**_CFG))
+    st = s2.bind(tt.build_state(scene))
+    n0 = int((np.asarray(jax.device_get(st.material)) != -1).sum())
+
+    # teleport one shard's actives across the y cut in bulk, with a cap
+    # far below the migrant count
+    import dataclasses
+
+    s2.cap_my = 128
+    x = np.asarray(jax.device_get(st.x)).copy()
+    mat = np.asarray(jax.device_get(st.material))
+    rows = s2._shard_rows
+    # shard (0,1) band -> push 300+ rows into band 3's y range
+    sl = slice(1 * rows, 2 * rows)
+    sel = np.nonzero(mat[sl] != -1)[0][:300] + 1 * rows
+    x[sel, 1] = 0.55  # top of the fluid -> highest band
+    st = dataclasses.replace(st, x=jax.numpy.asarray(x))
+    st = s2.shard_state(st)
+
+    lost_free = True
+    for _ in range(6):  # 300 rows at cap 128 need ~3 rebuilds + ratchets
+        st, _ = jax.jit(s2._seg_build)(st)
+        n = int((np.asarray(jax.device_get(st.material)) != -1).sum())
+        assert n == n0, f"migration lost particles ({n} != {n0})"
+    # all migrants eventually home
+    o = jax.device_get(st)
+    mat = np.asarray(o.material)
+    xs = np.asarray(o.x)
+    spec = s2.spec
+    tbl_sx = np.asarray(s2._tbl_sx)
+    tbl_sy = np.asarray(s2._tbl_sy)
+    res = np.asarray(spec.res)
+    for s in range(s2.n_shards):
+        slc = slice(s * rows, (s + 1) * rows)
+        act = mat[slc] != -1
+        c = np.clip(np.floor(xs[slc] / spec.cell_size).astype(int), 0, res - 1)
+        home = (tbl_sx[c[:, 0]] == s // s2.Sy) & (tbl_sy[c[:, 1]] == s % s2.Sy)
+        assert (home | ~act).all(), f"shard {s} still holds stranded rows"

@@ -13,10 +13,14 @@ the rectangle perimeter instead of a full domain cross-section.
 Design (all sweeps/kernels are the UNCHANGED seg pallas tier):
 
 - **Ownership**: shard (sx, sy) owns the cells with ``tbl_sx[cx] == sx``
-  and ``tbl_sy[sx, cy] == sy`` — x cut into ``Sx`` slabs at equal-count
-  quantiles of the bound-time distribution, then each slab cut into ``Sy``
-  y-bands at its own quantiles (product quantiles keep initial imbalance
-  ~zero even for L-shaped fluid).  Each shard stores its particles sorted
+  and ``tbl_sy[cy] == sy`` — x cut into ``Sx`` slabs and y into ``Sy``
+  bands at equal-count quantiles of the bound-time distribution.  The
+  y-cuts are GLOBAL (identical in every slab) as a CORRECTNESS
+  requirement: misaligned per-slab bands need halo rows from arbitrarily
+  deep inside diagonal shards, which no 1-layer mesh-neighbor exchange
+  can deliver (see _make_cuts); residual imbalance is absorbed by
+  ``balance_slack`` + the occ_shard-steered rebalance.  Each shard
+  stores its particles sorted
   by the GLOBAL row-major flat cell id in a fixed ``shard_rows`` slot
   budget with an inactive sentinel tail (the locality basis is the same
   flat id as everywhere else — reference
@@ -451,7 +455,11 @@ class ShardedWCSPH2D(SolverBase):
         """Compact the masked rows of ``mat`` into a (cap, C) buffer.
         Invalid lanes get sentinel-id / INVALID-material columns (values
         are clamped junk — masked-lane garbage by design).  Returns
-        (buffer, gather_idx, overflow_rows)."""
+        (buffer, gather_idx, sent_mask, overflow_rows): ``sent_mask``
+        marks exactly the source rows the buffer carries — migration MUST
+        neutralize only those (neutralizing every masked row would
+        silently DESTROY the overflow rows beyond ``cap``; leaving them in
+        place turns buffer overflow into a flagged one-rebuild delay)."""
         n = mat.shape[0]
         big = jnp.int32(np.iinfo(np.int32).max)
         iota = jnp.arange(n, dtype=jnp.int32)
@@ -466,8 +474,9 @@ class ShardedWCSPH2D(SolverBase):
         buf = buf.at[:, mat_col].set(
             _f32(jnp.where(valid, mats, MATERIAL_INVALID))
         )
+        sent = jnp.zeros((n,), bool).at[idx].set(valid, mode="drop")
         ovf = jnp.maximum(jnp.sum(mask.astype(jnp.int32)) - cap, 0)
-        return buf, idx, ovf
+        return buf, idx, sent, ovf
 
     def _neutralize(self, buf, has_sender, id_col, mat_col):
         """Zero-filled ppermute results on mesh-edge shards decode as cell
@@ -537,10 +546,14 @@ class ShardedWCSPH2D(SolverBase):
             act = jax.lax.bitcast_convert_type(mat[:, IDC], jnp.int32) < sentinel
             m_p = act & (d == 1)
             m_m = act & (d == -1)
-            buf_p, _, ovf_p = self._select_rows(mat, m_p, cap, IDC, MATC)
-            buf_m, _, ovf_m = self._select_rows(mat, m_m, cap, IDC, MATC)
-            # neutralize departed rows in place
-            gone = m_p | m_m
+            buf_p, _, sent_p, ovf_p = self._select_rows(mat, m_p, cap,
+                                                        IDC, MATC)
+            buf_m, _, sent_m, ovf_m = self._select_rows(mat, m_m, cap,
+                                                        IDC, MATC)
+            # neutralize exactly the rows the buffers carry — an overflow
+            # row stays in place (wrong shard for one more rebuild,
+            # counted in occ_resort) instead of being destroyed
+            gone = sent_p | sent_m
             ids0 = jax.lax.bitcast_convert_type(mat[:, IDC], jnp.int32)
             mats0 = jax.lax.bitcast_convert_type(mat[:, MATC], jnp.int32)
             mat = mat.at[:, IDC].set(_f32(jnp.where(gone, big, ids0)))
@@ -622,8 +635,8 @@ class ShardedWCSPH2D(SolverBase):
             ylo = self._ylo[syi]
             m_yp = act_k & (cy_k == yhi - 1)
             m_ym = act_k & (cy_k == ylo)
-            buf_yp, idx_yp, o1 = self._select_rows(kept, m_yp, Hy, IDC, MATC)
-            buf_ym, idx_ym, o2 = self._select_rows(kept, m_ym, Hy, IDC, MATC)
+            buf_yp, idx_yp, _, o1 = self._select_rows(kept, m_yp, Hy, IDC, MATC)
+            buf_ym, idx_ym, _, o2 = self._select_rows(kept, m_ym, Hy, IDC, MATC)
             y_in_p = jax.lax.ppermute(buf_yp, ax_y, fwd_y)
             y_in_m = jax.lax.ppermute(buf_ym, ax_y, bwd_y)
             y_in_p = self._neutralize(y_in_p, syi - 1 >= 0, IDC, MATC)
@@ -636,8 +649,8 @@ class ShardedWCSPH2D(SolverBase):
             xlo = self._xlo[sxi]
             m_xp = act_c1 & (coords_c1[:, 0] == xhi - 1)
             m_xm = act_c1 & (coords_c1[:, 0] == xlo)
-            buf_xp, idx_xp, o3 = self._select_rows(cat1, m_xp, Hx, IDC, MATC)
-            buf_xm, idx_xm, o4 = self._select_rows(cat1, m_xm, Hx, IDC, MATC)
+            buf_xp, idx_xp, _, o3 = self._select_rows(cat1, m_xp, Hx, IDC, MATC)
+            buf_xm, idx_xm, _, o4 = self._select_rows(cat1, m_xm, Hx, IDC, MATC)
             x_in_p = jax.lax.ppermute(buf_xp, ax_x, fwd_x)
             x_in_m = jax.lax.ppermute(buf_xm, ax_x, bwd_x)
             x_in_p = self._neutralize(x_in_p, sxi - 1 >= 0, IDC, MATC)
