@@ -335,3 +335,70 @@ def test_2d_migration_buffer_overflow_is_lossless():
         c = np.clip(np.floor(xs[slc] / spec.cell_size).astype(int), 0, res - 1)
         home = (tbl_sx[c[:, 0]] == s // s2.Sy) & (tbl_sy[c[:, 1]] == s % s2.Sy)
         assert (home | ~act).all(), f"shard {s} still holds stranded rows"
+
+
+def test_2d_rigid_coupled_matches_single_chip(tmp_path):
+    """Dynamic rigid bodies compose with the 2-D mesh: the coupled
+    rollout (per-substep bvol + density + fused force_react exchanges,
+    GSPMD-reduced body forces) must reproduce the single-chip WCSPHRigid
+    trajectory.  Positions compare as SETS (Hausdorff): the dam's initial
+    shock makes near-coincident fluid rows, which mispair under any
+    per-row ordering at f32 noise while the physics agrees to ~1e-7."""
+    import json
+
+    from tisph_tpu.geometry.mesh import box_mesh, save_obj
+    from tisph_tpu.models.wcsph_rigid import WCSPHRigid
+
+    mesh_path = tmp_path / "box.obj"
+    save_obj(box_mesh((0.4, 0.55, 0.4), (0.6, 0.7, 0.6)), mesh_path)
+    raw = {
+        "configuration": {
+            "dim": 3, "domainStart": [0, 0, 0], "domainEnd": [1, 1, 1],
+            "particleRadius": 0.04, "density0": 1000,
+            "gravitation": [0, -9.81, 0], "c_s": 40.0,
+        },
+        "rigidBodies": [
+            {"geometryFile": str(mesh_path), "scale": [1, 1, 1],
+             "translation": [0, 0, 0], "rotationAngle": 0,
+             "rotationAxis": [0, 1, 0], "velocity": [0, 0, 0],
+             "density": 300.0, "color": [150, 150, 150], "isDynamic": True}
+        ],
+        "fluidBlocks": [
+            {"start": [0.1, 0.1, 0.1], "end": [0.9, 0.45, 0.9],
+             "velocity": [0, 0, 0], "density": 1000.0,
+             "color": [50, 100, 200]}
+        ],
+    }
+    p = tmp_path / "scene.json"
+    p.write_text(json.dumps(raw))
+    scene = tt.load_scene(p)
+    cfg = dict(_CFG)
+
+    s1 = WCSPHRigid(scene, sweep_cfg=SweepConfig(**cfg))
+    st1 = s1.bind(tt.build_state(scene))
+    rg1 = s1.init_rigid(st1)
+    st1, rg1 = s1.rollout_coupled(st1, rg1, 3)
+    o1, r1 = jax.device_get(st1), jax.device_get(rg1)
+
+    mesh = make_mesh2d(2, 2)
+    s2 = ShardedWCSPH2D(scene, mesh, sweep_cfg=SweepConfig(**cfg))
+    assert s2.boundary_mode == "per_step"
+    st2 = s2.bind(tt.build_state(scene))
+    rg2 = s2.init_rigid(st2)
+    st2, rg2 = s2.rollout_coupled(st2, rg2, 3)
+    o2, r2 = jax.device_get(st2), jax.device_get(rg2)
+
+    a1 = np.asarray(o1.material) != -1
+    a2 = np.asarray(o2.material) != -1
+    assert a1.sum() == a2.sum()
+    x1 = np.asarray(o1.x)[a1]
+    x2 = np.asarray(o2.x)[a2]
+    d = np.linalg.norm(x1[:, None, :] - x2[None, :, :], axis=-1)
+    hd = max(d.min(axis=1).max(), d.min(axis=0).max())
+    assert hd < 1e-5, f"coupled 2-D set divergence {hd:.2e}"
+    np.testing.assert_allclose(np.asarray(r1.com), np.asarray(r2.com),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r1.v_com), np.asarray(r2.v_com),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(r1.omega), np.asarray(r2.omega),
+                               atol=1e-4)

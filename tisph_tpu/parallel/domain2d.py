@@ -59,8 +59,11 @@ Design (all sweeps/kernels are the UNCHANGED seg pallas tier):
   the extended ids.  The self-pair still cancels exactly: own rows'
   values in ipack and the extended pack are copies of the same f32s.
 
-Emitters and dynamic rigid bodies are not wired on the 2-D mesh (the 1-D
-``ShardedWCSPH`` carries both); ``bind`` rejects those scenes.
+Dynamic rigid bodies compose with the 2-D mesh exactly like the 1-D one
+(per-substep bvol + fused force_react sweeps; GSPMD-reduced body forces —
+see ShardedWCSPH._coupled_apply).  Emitters are 1-D-mesh-only: their pool
+contract (inactive slots at the array tail) does not hold for per-shard
+sorted chunks; ``bind`` rejects emitter scenes.
 """
 
 from __future__ import annotations
@@ -138,8 +141,17 @@ class ShardedWCSPH2D(SolverBase):
         sweep_cfg: SweepConfig | None = None,
         balance_slack: float = 1.5,
         buffer_slack: float = 2.0,
+        boundary_mode: str | None = None,
     ):
-        super().__init__(scene, compat=compat, params=params, sweep_cfg=sweep_cfg)
+        if boundary_mode is None:
+            # rigid scenes need per-substep Akinci volume recomputes
+            boundary_mode = (
+                "per_step"
+                if any(rb.is_dynamic for rb in scene.rigid_bodies)
+                else "static"
+            )
+        super().__init__(scene, compat=compat, params=params,
+                         sweep_cfg=sweep_cfg, boundary_mode=boundary_mode)
         if scene.dim < 2:
             raise ValueError("2-D decomposition needs dim >= 2")
         if len(mesh.axis_names) != 2:
@@ -208,7 +220,8 @@ class ShardedWCSPH2D(SolverBase):
             raise ValueError(
                 f"grid {res} too small for a {self.Sx}x{self.Sy} mesh"
             )
-        state = self._precompute_boundary_volumes(state)
+        if self.boundary_mode == "static":
+            state = self._precompute_boundary_volumes(state)
 
         # per-shard row budget: cuts are cell-granular, so on coarse grids
         # the equal-count quantiles can land a multiple of the mean in one
@@ -724,11 +737,12 @@ class ShardedWCSPH2D(SolverBase):
                  idx_yp, idx_ym, idx_xp, idx_xm)
         return state, cache
 
-    def _seg_apply(self, state: SimState, cache) -> SimState:
-        """One physics substep against the cached structure: cached-index
-        value gathers + 4 ppermutes per exchange (×2 exchanges around the
-        EOS barrier), then the seg sweeps with the local pack as the
-        separate i side."""
+    def _exchange_sweep(self, state: SimState, cache, mode: str):
+        """One halo-refreshed sweep against the cached structure:
+        cached-index value gathers + 4 buffer ppermutes (y then x stage),
+        cached merge permutation, then the seg kernel with the local pack
+        as the separate i side.  Modes: 'density', 'force', and the rigid
+        pipeline's 'bvol' / 'force_react'."""
         from tisph_tpu.ops.pallas import sweeps as ps
 
         spec, params, scfg = self.spec, self.params, self.sweep_cfg
@@ -740,11 +754,10 @@ class ShardedWCSPH2D(SolverBase):
         bwd_x = [(i + 1, i) for i in range(self.Sx - 1)]
         fwd_y = [(i, i + 1) for i in range(self.Sy - 1)]
         bwd_y = [(i + 1, i) for i in range(self.Sy - 1)]
-        dim = state.dim
         kw = dict(tile=scfg.tile, interpret=scfg.interpret,
                   fast_math=scfg.fast_math)
 
-        def sweep_shard(mode, ids_l_c, ids_e_c, perm_e_c,
+        def sweep_shard(ids_l_c, ids_e_c, perm_e_c,
                         iyp, iym, ixp, ixm, meta_c, bval, *fields):
             f_local = dict(zip(_FIELD_KEYS, fields))
             cols = []
@@ -779,13 +792,22 @@ class ShardedWCSPH2D(SolverBase):
                 f_local["pressure"], f_local["mass"], f_local["volume"],
                 f_local["material"], ids_l_c, params,
             )
-            fn = (ps.density_sweep_seg if mode == "density"
-                  else ps.force_sweep_seg)
+            fn = {"density": ps.density_sweep_seg,
+                  "force": ps.force_sweep_seg,
+                  "bvol": ps.bvol_sweep_seg,
+                  "force_react": ps.force_react_sweep_seg}[mode]
             out = fn(pack_ext, meta_c, spec, params, scfg.block_size,
                      scfg.window_cap, ipack=pack_own, **kw)
             fluid = f_local["material"] == 1
+            bd = f_local["material"] == 0
             if mode == "density":
                 return jnp.where(bval & fluid, out, f_local["density"])
+            if mode == "bvol":
+                return jnp.where(bval & bd,
+                                 1.0 / jnp.maximum(out, 1e-10),
+                                 f_local["volume"])
+            if mode == "force_react":
+                return jnp.where((bval & (fluid | bd))[:, None], out, 0.0)
             return jnp.where((bval & fluid)[:, None], out, 0.0)
 
         meta_spec = ps.SegMeta(pspec, pspec, pspec)
@@ -793,34 +815,114 @@ class ShardedWCSPH2D(SolverBase):
 
         @partial(jax.shard_map, mesh=self.mesh, in_specs=in_specs,
                  out_specs=pspec, check_vma=False)
-        def density_shard(*args):
-            return sweep_shard("density", *args)
-
-        @partial(jax.shard_map, mesh=self.mesh, in_specs=in_specs,
-                 out_specs=pspec, check_vma=False)
-        def force_shard(*args):
-            return sweep_shard("force", *args)
+        def shard(*args):
+            return sweep_shard(*args)
 
         f = F.state_fields(state)
-        density = density_shard(
+        return shard(
             ids_l, ids_e, perm_e, idx_yp, idx_ym, idx_xp, idx_xm,
             meta, back_valid, *[f[k] for k in _FIELD_KEYS],
         )
+
+    def _seg_apply(self, state: SimState, cache) -> SimState:
+        """One fluid physics substep against the cached structure
+        (×2 value exchanges around the EOS barrier)."""
+        params = self.params
+        density = self._exchange_sweep(state, cache, "density")
         rho, pressure = tait_pressure(
             density, params.density0, params.stiffness, params.exponent
         )
         state = dataclasses.replace(state, density=rho, pressure=pressure)
-        f = F.state_fields(state)
-        d_velocity = force_shard(
-            ids_l, ids_e, perm_e, idx_yp, idx_ym, idx_xp, idx_xm,
-            meta, back_valid, *[f[k] for k in _FIELD_KEYS],
-        )
+        d_velocity = self._exchange_sweep(state, cache, "force")
         state = F.advect(state, d_velocity, params)
         return F.enforce_domain_boundary(state, params)
 
     def _step_fn(self, state: SimState) -> SimState:
         state, cache = self._seg_build(state)
         return self._seg_apply(state, cache)
+
+    # ------------------------------------------------------------------
+    # dynamic rigid bodies over the 2-D mesh (two-way coupling)
+    # ------------------------------------------------------------------
+    def init_rigid(self, state: SimState):
+        from tisph_tpu.models.rigid import make_rigid_state
+
+        return make_rigid_state(state, self.scene)
+
+    def _coupled_step_fn(self, carry):
+        state, rigid = carry
+        state, cache = self._seg_build(state)
+        return self._coupled_apply((state, rigid), cache)
+
+    def _coupled_apply(self, carry, cache):
+        """Coupled substep on the 2-D mesh: per-substep Akinci volume +
+        density + fused force_react exchanges, then the per-body
+        reductions on the sharded arrays (GSPMD all-reduces — same scheme
+        as ShardedWCSPH._coupled_apply)."""
+        from tisph_tpu.models.rigid import integrate_rigid_fields
+
+        state, rigid = carry
+        params = self.params
+        if self.boundary_mode != "per_step":
+            raise ValueError("dynamic rigid bodies need boundary_mode="
+                             "'per_step' (auto-selected for rigid scenes)")
+        volume = self._exchange_sweep(state, cache, "bvol")
+        state = dataclasses.replace(state, volume=volume)
+        density = self._exchange_sweep(state, cache, "density")
+        rho, pressure = tait_pressure(
+            density, params.density0, params.stiffness, params.exponent
+        )
+        state = dataclasses.replace(state, density=rho, pressure=pressure)
+        out = self._exchange_sweep(state, cache, "force_react")
+        d_velocity = jnp.where(state.fluid_mask[:, None], out, 0.0)
+        reactions = jnp.where(state.boundary_mask[:, None], out, 0.0)
+        state = F.advect(state, d_velocity, params)
+        x, v, rigid = integrate_rigid_fields(
+            state.x, state.v, state.mass, state.object_id,
+            state.boundary_mask, rigid, reactions, params,
+        )
+        state = dataclasses.replace(state, x=x, v=v)
+        return F.enforce_domain_boundary(state, params), rigid
+
+    def step_coupled(self, state: SimState, rigid):
+        if self.spec is None:
+            state = self.bind(state)
+        if getattr(self, "_coupled_jit", None) is None:
+            self._coupled_jit = jax.jit(self._coupled_step_fn)
+        return self._coupled_jit((state, rigid))
+
+    def rollout_coupled(self, state: SimState, rigid, num_steps: int):
+        if self.spec is None:
+            state = self.bind(state)
+        R = self._amortize_R()
+        if getattr(self, "_coupled_roll_jit", None) is None:
+            if R > 1:
+                def _roll(carry, n):
+                    def outer(i, c):
+                        st, cache = self._seg_build(c[0])
+                        k = jnp.minimum(R, n - i * R)
+                        return jax.lax.fori_loop(
+                            0, k,
+                            lambda _, c2: self._coupled_apply(c2, cache),
+                            (st, c[1]),
+                        )
+                    return jax.lax.fori_loop(0, -(-n // R), outer, carry)
+            else:
+                def _roll(carry, n):
+                    return jax.lax.fori_loop(
+                        0, n, lambda _, c: self._coupled_step_fn(c), carry
+                    )
+            self._coupled_roll_jit = jax.jit(_roll, static_argnums=1)
+        return self._coupled_roll_jit((state, rigid), num_steps)
+
+    def run_coupled(self, state: SimState, rigid, num_steps: int, **kw):
+        if self.spec is None:
+            state = self.bind(state)
+        return self._run_adaptive(
+            (state, rigid), num_steps,
+            lambda c, k: self.rollout_coupled(c[0], c[1], k),
+            lambda c: c[0], lambda c, s: (s, c[1]), **kw
+        )
 
     # ------------------------------------------------------------------
     # runtime adaptation
