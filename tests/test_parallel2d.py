@@ -402,3 +402,31 @@ def test_2d_rigid_coupled_matches_single_chip(tmp_path):
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(r1.omega), np.asarray(r2.omega),
                                atol=1e-4)
+
+
+def test_2d_run_steers_rebalance_under_drift():
+    """run()'s occ_shard steering: with a tight warn fraction, the dam
+    collapse's mass drift must trigger a quantile rebalance mid-run and
+    the run must continue clean (no loss, no NaN)."""
+    scene = _scene()
+    mesh = make_mesh2d(2, 2)
+    s2 = ShardedWCSPH2D(scene, mesh, sweep_cfg=SweepConfig(**_CFG),
+                        balance_slack=1.2)
+    st = s2.bind(tt.build_state(scene))
+    n0 = int((np.asarray(jax.device_get(st.material)) != -1).sum())
+    rebalances = 0
+    orig = s2.rebalance
+
+    def counting(st_):
+        nonlocal rebalances
+        rebalances += 1
+        return orig(st_)
+
+    s2.rebalance = counting
+    # tiny warn fraction forces the steering branch on the first check
+    st = s2.run(st, 8, check_every=4, warn_frac=0.05, verbose=True)
+    assert rebalances >= 1
+    n1 = int((np.asarray(jax.device_get(st.material)) != -1).sum())
+    assert n1 == n0
+    m = jax.device_get(s2.metrics(st))
+    assert int(m["nan_count"]) == 0
