@@ -62,13 +62,27 @@ def main() -> int:
         print(f"particles: {int(jax.device_get(state.num_active))}, "
               f"halo={solver.halo} rows, shard={solver._shard_rows} rows")
 
-    state = solver.step(state)  # compile
-    jax.block_until_ready(state.x)
-    t0 = time.time()
-    for _ in range(args.steps):
-        state = solver.step(state)
-    jax.block_until_ready(state.x)
-    wall = time.time() - t0
+    if scene.emitters:
+        # emitter scenes: the fused (emit -> step) rollout composes with
+        # both meshes (1-D: global tail pool; 2-D: per-shard tails)
+        from tisph_tpu.geometry.emitter import make_emitter_state
+
+        emitters = [make_emitter_state(e, scene) for e in scene.emitters]
+        state, emitters = solver.rollout_emit(state, emitters, 1)  # compile
+        jax.block_until_ready(state.x)
+        t0 = time.time()
+        state, emitters = solver.rollout_emit(state, emitters, args.steps)
+        jax.block_until_ready(state.x)
+        wall = time.time() - t0
+        print(f"emitted: {int(jax.device_get(emitters[0].emitted))}")
+    else:
+        state = solver.step(state)  # compile
+        jax.block_until_ready(state.x)
+        t0 = time.time()
+        for _ in range(args.steps):
+            state = solver.step(state)
+        jax.block_until_ready(state.x)
+        wall = time.time() - t0
     n = int(jax.device_get(state.num_active))
     m = jax.device_get(solver.metrics(state))
     print(f"{args.steps} steps in {wall:.2f}s -> {n * args.steps / wall:.3e} "

@@ -233,7 +233,7 @@ def test_2d_rebalance_recuts_and_preserves_particles():
     assert int(m["nan_count"]) == 0
 
 
-def test_2d_rejects_non_seg_and_emitters():
+def test_2d_rejects_non_seg():
     scene = _scene()
     mesh = make_mesh2d(2, 2)
     with pytest.raises(NotImplementedError):
@@ -242,6 +242,97 @@ def test_2d_rejects_non_seg_and_emitters():
             sweep_cfg=SweepConfig(impl="blocked", block_size=128,
                                   window_cap=512),
         ).bind(tt.build_state(scene))
+
+
+def _emitter_scene():
+    """Emitter rectangle deliberately spans the domain center so its seeds
+    straddle both the x and y cuts of small meshes."""
+    return tt.scene_from_dict(
+        {
+            "configuration": {
+                "dim": 3, "domainStart": [0, 0, 0], "domainEnd": [1, 1, 1],
+                "particleRadius": 0.04, "density0": 1000,
+                "gravitation": [0, -9.81, 0], "c_s": 50.0,
+            },
+            "fluidBlocks": [
+                {"start": [0.15, 0.15, 0.15], "end": [0.55, 0.4, 0.55],
+                 "velocity": [0, 0, 0], "density": 1000.0,
+                 "color": [50, 100, 200]}
+            ],
+            "emitters": [
+                {"start": [0.3, 0.8, 0.3], "end": [0.52, 0.8001, 0.52],
+                 "velocity": [0, -1.0, 0], "interval": 5,
+                 "maxParticles": 256}
+            ],
+            "rigidBodies": [],
+        }
+    )
+
+
+def test_2d_emitter_composes():
+    """Per-shard tail emission on the 2-D mesh: the fused rollout_emit
+    must keep the emission cadence exact (counters tick every substep,
+    all-or-nothing fire) even when the seed rectangle spans both cuts."""
+    from tisph_tpu.geometry.emitter import make_emitter_state
+
+    scene = _emitter_scene()
+    mesh = make_mesh2d(2, 2)
+    solver = ShardedWCSPH2D(scene, mesh, sweep_cfg=SweepConfig(**_CFG))
+    state = solver.bind(tt.build_state(scene, extra_capacity=512))
+    es = make_emitter_state(scene.emitters[0], scene)
+    n0 = int(jax.device_get(state.num_active))
+    state, ems = solver.rollout_emit(state, [es], 12)
+    out = jax.device_get(state)
+    emitted = int(jax.device_get(ems[0].emitted))
+    assert emitted == 3 * es.batch_size  # steps 0, 5, 10
+    assert int(out.num_active) == n0 + emitted
+    act = np.asarray(out.material) != -1
+    assert act.sum() == int(out.num_active)
+    assert np.isfinite(np.asarray(out.x)[act]).all()
+    m = jax.device_get(solver.metrics(state))
+    assert int(m["nan_count"]) == 0
+    assert int(m["migrate_anomalies"]) == 0
+
+
+def test_2d_emitter_matches_single_chip():
+    """The 2-D per-shard tail emission must reproduce the single-chip
+    rollout_emit trajectory (same fused R-group cadence both sides).
+
+    6-step horizon, like every cross-decomposition equality test here: the
+    initial dam shock drives particles pinned on the clamp planes, where a
+    ~1e-7 reduction-order difference flips whether a reflection fires —
+    measured at step 7 on this scene (one floor particle's v_y: 0.63 vs
+    15.7 m/s between IDENTICAL physics at different reduction orders), so
+    beyond ~6 steps per-row comparison is meaningless for any two
+    decompositions.  The emitter path was exonerated explicitly: the
+    8-step divergence is byte-identical with emitters removed."""
+    from tisph_tpu.geometry.emitter import make_emitter_state
+
+    scene = _emitter_scene()
+    cfg = dict(_CFG, resort_every=2)
+
+    s1 = tt.WCSPH(scene, sweep_cfg=SweepConfig(**cfg))
+    st1 = s1.bind(tt.build_state(scene, extra_capacity=512))
+    es1 = make_emitter_state(scene.emitters[0], scene)
+    st1, ems1 = s1.rollout_emit(st1, [es1], 6)
+    x1, r1, v1 = _canon(jax.device_get(st1))
+
+    mesh = make_mesh2d(2, 2)
+    s2 = ShardedWCSPH2D(scene, mesh, sweep_cfg=SweepConfig(**cfg))
+    st2 = s2.bind(tt.build_state(scene, extra_capacity=512))
+    es2 = make_emitter_state(scene.emitters[0], scene)
+    st2, ems2 = s2.rollout_emit(st2, [es2], 6)
+    x2, r2, v2 = _canon(jax.device_get(st2))
+
+    assert int(jax.device_get(ems1[0].emitted)) == int(
+        jax.device_get(ems2[0].emitted)
+    )
+    assert len(x1) == len(x2)
+    assert np.abs(x1 - x2).max() < 1e-5, (
+        f"2-D emitter position divergence {np.abs(x1 - x2).max():.2e}"
+    )
+    np.testing.assert_allclose(v1, v2, atol=5e-3)
+    np.testing.assert_allclose(r1, r2, rtol=1e-4)
 
 
 def test_2d_migration_anomaly_ratchets_home():

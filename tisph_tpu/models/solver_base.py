@@ -325,6 +325,16 @@ class SolverBase:
             self._rollout_jit = jax.jit(_roll, static_argnums=1)
         return self._rollout_jit(state, num_steps)
 
+    def _maybe_emit(self, state: SimState, es, volume0: float):
+        """One emitter activation attempt (pure / jittable).  The default
+        is the global-layout emission (geometry/emitter.py: tail pool =
+        the inactive slots after the global cell sort); solvers whose
+        state layout has a different pool structure override this
+        (ShardedWCSPH2D: per-shard tails)."""
+        from tisph_tpu.geometry.emitter import maybe_emit
+
+        return maybe_emit(state, es, volume0)
+
     def rollout_emit(self, state: SimState, emitters, num_steps: int):
         """``num_steps`` fused (emit -> step) iterations in ONE dispatch.
 
@@ -348,14 +358,12 @@ class SolverBase:
             state = self.bind(state)
         R = self._amortize_R()
         if self._emit_roll_jit is None:
-            from tisph_tpu.geometry.emitter import maybe_emit
-
             vol0 = self.scene.particle_volume0
 
             def emit_all(s, ems):
                 ems = list(ems)
                 for i, es in enumerate(ems):
-                    s, ems[i] = maybe_emit(s, es, vol0)
+                    s, ems[i] = self._maybe_emit(s, es, vol0)
                 return s, tuple(ems)
 
             if R > 1:

@@ -61,9 +61,12 @@ Design (all sweeps/kernels are the UNCHANGED seg pallas tier):
 
 Dynamic rigid bodies compose with the 2-D mesh exactly like the 1-D one
 (per-substep bvol + fused force_react sweeps; GSPMD-reduced body forces —
-see ShardedWCSPH._coupled_apply).  Emitters are 1-D-mesh-only: their pool
-contract (inactive slots at the array tail) does not hold for per-shard
-sorted chunks; ``bind`` rejects emitter scenes.
+see ShardedWCSPH._coupled_apply).  Emitters compose too: every shard's
+``shard_rows`` chunk keeps its own inactive sentinel tail after the local
+id sort, so emission activates each shard's OWNED seeds into its local
+tail (``_maybe_emit`` — all-or-nothing fire via a room ``pmin`` keeps the
+cadence exact across the mesh, and placement in the owner shard means new
+rows never migrate at the next rebuild).
 """
 
 from __future__ import annotations
@@ -77,7 +80,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tisph_tpu.config import SceneConfig, SolverParams
-from tisph_tpu.models.state import SimState, MATERIAL_INVALID
+from tisph_tpu.models.state import SimState, MATERIAL_FLUID, MATERIAL_INVALID
 from tisph_tpu.models.solver_base import SolverBase
 from tisph_tpu.ops import forces as F
 from tisph_tpu.ops import grid as gridops
@@ -183,10 +186,6 @@ class ShardedWCSPH2D(SolverBase):
     # bind: caps, cuts, distribution
     # ------------------------------------------------------------------
     def bind(self, state: SimState) -> SimState:
-        if self.scene.emitters:
-            raise NotImplementedError(
-                "emitters are not wired on the 2-D mesh; use ShardedWCSPH"
-            )
         if self.spec is None or self.sweep_cfg is None:
             probe = self.spec if self.spec is not None else self._make_spec(run_cap=8)
             block = self.sweep_cfg.block_size if self.sweep_cfg is not None else 128
@@ -840,6 +839,96 @@ class ShardedWCSPH2D(SolverBase):
     def _step_fn(self, state: SimState) -> SimState:
         state, cache = self._seg_build(state)
         return self._seg_apply(state, cache)
+
+    # ------------------------------------------------------------------
+    # emitter inflow over the 2-D mesh
+    # ------------------------------------------------------------------
+    def _maybe_emit(self, state: SimState, es, volume0: float):
+        """Per-shard tail emission (the 2-D analog of geometry/emitter.py's
+        global tail pool): every shard's ``shard_rows`` chunk keeps its own
+        inactive sentinel tail after the local id sort, so each shard
+        activates exactly the seeds whose cell rectangle it OWNS into its
+        local tail — placement lands in the owner shard directly, so the
+        new rows never migrate at the next rebuild.  The fire decision is
+        all-or-nothing across the mesh (``pmin`` of per-shard room) so the
+        ``emitted`` counter stays exact and the cadence matches the 1-D /
+        single-chip paths; a full owner shard therefore SKIPS the batch
+        (flagged by the cadence mismatch in ``emitted``) until run()'s
+        occ_shard-steered rebalance redistributes the load.  Mid-R-group
+        activations join the neighbor structure at the next group rebuild
+        (<= R-1 substeps of ballistic flight — the same contract as
+        SolverBase.rollout_emit's fused 1-D cadence)."""
+        spec, rows = self.spec, self._shard_rows
+        ax_x, ax_y = self.ax_x, self.ax_y
+        axes2 = (ax_x, ax_y)
+        pspec = P(axes2)
+        rspec = P()
+        dim = state.dim
+        B = es.batch_size
+
+        due = jax.lax.rem(es.step, es.interval) == 0
+        under_quota = jnp.where(
+            es.max_particles > 0, es.emitted + B <= es.max_particles, True
+        )
+        maybe = due & under_quota
+
+        @partial(jax.shard_map, mesh=self.mesh,
+                 in_specs=(rspec,) * 5 + (pspec,) * len(_PAYLOAD),
+                 out_specs=(pspec,) * len(_PAYLOAD) + (rspec,),
+                 check_vma=False)
+        def emit_shard(maybe_c, seeds, evel, ecol, eden,
+                       x, v, density, pressure, mass, volume, material,
+                       color, object_id):
+            sxi = jax.lax.axis_index(ax_x)
+            syi = jax.lax.axis_index(ax_y)
+            coords = gridops.cell_coords(seeds, spec)
+            ssx, ssy = self._shard_of(coords, jnp.ones((B,), bool))
+            owned = (ssx == sxi) & (ssy == syi)
+            k = jnp.sum(owned.astype(jnp.int32))
+            cnt = jnp.sum((material != MATERIAL_INVALID).astype(jnp.int32))
+            room = jax.lax.pmin(
+                ((cnt + k) <= rows).astype(jnp.int32), axes2
+            )
+            fire = maybe_c & (room > 0)
+            idx = cnt + jnp.cumsum(owned.astype(jnp.int32)) - 1
+            idx = jnp.where(owned & fire, idx, rows)  # mode='drop' discards
+            vol = jnp.full((B,), volume0, jnp.float32)
+            return (
+                x.at[idx].set(seeds, mode="drop"),
+                v.at[idx].set(jnp.broadcast_to(evel, (B, dim)), mode="drop"),
+                density.at[idx].set(eden, mode="drop"),
+                pressure.at[idx].set(0.0, mode="drop"),
+                mass.at[idx].set(vol * eden, mode="drop"),
+                volume.at[idx].set(vol, mode="drop"),
+                material.at[idx].set(MATERIAL_FLUID, mode="drop"),
+                color.at[idx].set(jnp.broadcast_to(ecol, (B, 3)), mode="drop"),
+                object_id.at[idx].set(jnp.asarray(10_000, jnp.int32),
+                                      mode="drop"),
+                fire.astype(jnp.int32),
+            )
+
+        outs = emit_shard(
+            maybe, es.seeds_x, es.velocity, es.color, es.density,
+            state.x, state.v, state.density, state.pressure, state.mass,
+            state.volume, state.material, state.color, state.object_id,
+        )
+        fire = outs[-1] > 0
+        new_fields = dict(zip(
+            ("x", "v", "density", "pressure", "mass", "volume", "material",
+             "color", "object_id"), outs[:-1]
+        ))
+        state = dataclasses.replace(
+            state,
+            num_active=jnp.where(fire, state.num_active + B,
+                                 state.num_active),
+            **new_fields,
+        )
+        es2 = dataclasses.replace(
+            es,
+            emitted=jnp.where(fire, es.emitted + B, es.emitted),
+            step=es.step + 1,
+        )
+        return state, es2
 
     # ------------------------------------------------------------------
     # dynamic rigid bodies over the 2-D mesh (two-way coupling)
