@@ -14,10 +14,12 @@ A new capability — the reference is strictly single-process single-GPU
   analog of a ring-attention block rotation (SURVEY.md §5.7);
 - global reductions (CFL, metrics) are ``psum``/``pmax`` collectives;
 - for fixed-size domains whose x-resolution caps the 1-D slab count, the
-  2-D (x × y) rectangle decomposition (parallel/domain2d.py) scales the
-  shard count with the domain AREA and shrinks halo bytes to the
-  rectangle perimeter.
+  rectangle decomposition (parallel/domain2d.py) scales the shard count
+  with the domain AREA (2-axis x × y mesh) or VOLUME (3-axis x × y × z)
+  and shrinks halo bytes to the rectangle perimeter / box surface.
 """
 
 from tisph_tpu.parallel.domain import ShardedWCSPH, make_mesh
-from tisph_tpu.parallel.domain2d import ShardedWCSPH2D, make_mesh2d
+from tisph_tpu.parallel.domain2d import (
+    ShardedWCSPH2D, ShardedWCSPHRect, make_mesh2d, make_mesh3d,
+)

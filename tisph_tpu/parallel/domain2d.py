@@ -1,4 +1,5 @@
-"""2-D (x × y) spatial domain decomposition over a 2-D device mesh.
+"""Rectangle (x × y, or x × y × z box) domain decomposition over a 2- or
+3-axis device mesh.
 
 The 1-D slab decomposition (parallel/domain.py) shards the globally
 cell-sorted array into contiguous row chunks — spatial x-slabs.  Its shard
@@ -6,16 +7,18 @@ count is capped by the domain's x-resolution (slabs thinner than the
 stencil reach degenerate into the all_gather halo path), which is the last
 scoped-but-unbuilt step of the 1e9 bridge for fixed-size domains
 (docs/design.md "The bridge to 1e9"; VERDICT r4 #1).  This module removes
-that cap: shards own fixed (x, y) cell rectangles on a ("sx", "sy") mesh,
-so the per-shard boundary area — and with it the halo bytes — scales with
-the rectangle perimeter instead of a full domain cross-section.
+that cap: shards own fixed cell rectangles (2-axis mesh) or boxes (3-axis
+mesh), so the per-shard boundary area — and with it the halo bytes —
+scales with the rectangle perimeter / box surface instead of a full
+domain cross-section.
 
-Design (all sweeps/kernels are the UNCHANGED seg pallas tier):
+Design (all sweeps/kernels are the UNCHANGED seg pallas tier; written for
+the 2-axis case, the 3-axis one adds a z stage to every exchange):
 
 - **Ownership**: shard (sx, sy) owns the cells with ``tbl_sx[cx] == sx``
-  and ``tbl_sy[cy] == sy`` — x cut into ``Sx`` slabs and y into ``Sy``
-  bands at equal-count quantiles of the bound-time distribution.  The
-  y-cuts are GLOBAL (identical in every slab) as a CORRECTNESS
+  and ``tbl_sy[cy] == sy`` — each axis cut into ``S_a`` intervals at
+  equal-count quantiles of the bound-time distribution.  Every axis's
+  cuts are GLOBAL (identical across the other axes) as a CORRECTNESS
   requirement: misaligned per-slab bands need halo rows from arbitrarily
   deep inside diagonal shards, which no 1-layer mesh-neighbor exchange
   can deliver (see _make_cuts); residual imbalance is absorbed by
@@ -28,28 +31,30 @@ Design (all sweeps/kernels are the UNCHANGED seg pallas tier):
   window machinery and the separable per-pair membership test carry over
   verbatim).
 
-- **Migration** (the 2-D resort, once per R-group rebuild): particles
-  whose cell crossed a cut move to the neighbor shard via two fixed-size
-  buffered ppermute phases — x then y (a diagonal migrant rides both).
-  Motion between rebuilds is CFL-bounded ≪ one cell, so targets beyond
-  the adjacent shard cannot occur in steady state; they are clamped,
-  counted in ``occ_resort``, and ratchet one shard per rebuild toward
-  their true owner.  After both phases each shard stable-sorts its
-  [own ∥ received] rows by cell id and keeps the first ``shard_rows``
-  (sentinels sort to the tail).  ``occ_shard`` tracks the pmax'd active
-  row count so ShardedWCSPH2D.run can rebalance the cuts BEFORE the cut
-  would drop a particle.
+- **Migration** (the rect resort, once per R-group rebuild): particles
+  whose cell crossed a cut move to the neighbor shard via one fixed-size
+  buffered ppermute phase per axis, x then y (then z) — a diagonal
+  migrant rides every phase it needs.  Motion between rebuilds is
+  CFL-bounded ≪ one cell, so targets beyond the adjacent shard cannot
+  occur in steady state; they are clamped, counted in ``occ_resort``, and
+  ratchet one shard per rebuild toward their true owner.  After the
+  phases each shard stable-sorts its [own ∥ received] rows by cell id and
+  keeps the first ``shard_rows`` (sentinels sort to the tail).
+  ``occ_shard`` tracks the pmax'd active row count so run() can rebalance
+  the cuts BEFORE the cut would drop a particle.
 
 - **Halo**: the stencil needs exactly the 1-cell layer around each
-  rectangle.  Two buffered exchange stages cover it INCLUDING corners: a
-  y-stage sends each shard's top/bottom cell layers along "sy"; the
-  x-stage then sends the left/right cell layers of (own ∥ y-halo) along
-  "sx", so corner cells ride through the x-neighbors.  The extended array
-  [own ∥ y-halo ∥ x-halo] is merge-sorted by cell id once per rebuild
-  (the j side of the sweeps must be id-sorted); the merge permutation and
-  the buffer gather indices are cached, so each substep's VALUE refresh
-  is 4 ppermutes of (H, C) buffers + cached row gathers — the 2-D analog
-  of the 1-D path's per-substep halo exchanges.
+  rectangle.  One buffered exchange stage per axis covers it INCLUDING
+  corners by running LAST AXIS FIRST: the y-stage (after z, on a 3-axis
+  mesh) sends each shard's top/bottom cell layers along "sy"; the x-stage
+  then sends the left/right cell layers of (own ∥ later-axis halos) along
+  "sx", so corner (and 3-axis double-corner) cells ride through the
+  earlier-received buffers.  The extended array [own ∥ halos] is
+  merge-sorted by cell id once per rebuild (the j side of the sweeps must
+  be id-sorted); the merge permutation and the buffer gather indices are
+  cached, so each substep's VALUE refresh is 2 ppermutes per axis of
+  (H, C) buffers + cached row gathers — the rect analog of the 1-D
+  path's per-substep halo exchanges.
 
 - **i/j split**: own rows interleave with halo rows in the id-merged
   extended array, so the sweeps take the local pack as a SEPARATE i side
@@ -88,12 +93,9 @@ from tisph_tpu.ops.eos import tait_pressure
 from tisph_tpu.ops.neighbors import SweepConfig
 
 
-def make_mesh2d(sx: int, sy: int, axes=("sx", "sy")) -> Mesh:
-    """(sx × sy) mesh over the default backend's devices; falls back to the
-    virtual CPU platform when it has too few (same contract as
-    domain.make_mesh)."""
+def _make_mesh_nd(sizes, axes) -> Mesh:
     devs = jax.devices()
-    need = sx * sy
+    need = int(np.prod(sizes))
     if len(devs) < need:
         devs = jax.devices("cpu")
     if len(devs) < need:
@@ -101,7 +103,20 @@ def make_mesh2d(sx: int, sy: int, axes=("sx", "sy")) -> Mesh:
             f"need {need} devices, have {len(devs)} "
             "(set XLA_FLAGS=--xla_force_host_platform_device_count=N)"
         )
-    return Mesh(np.asarray(devs[:need]).reshape(sx, sy), axes)
+    return Mesh(np.asarray(devs[:need]).reshape(*sizes), axes)
+
+
+def make_mesh2d(sx: int, sy: int, axes=("sx", "sy")) -> Mesh:
+    """(sx × sy) mesh over the default backend's devices; falls back to the
+    virtual CPU platform when it has too few (same contract as
+    domain.make_mesh)."""
+    return _make_mesh_nd((sx, sy), axes)
+
+
+def make_mesh3d(sx: int, sy: int, sz: int, axes=("sx", "sy", "sz")) -> Mesh:
+    """(sx × sy × sz) mesh — the 3-axis rectangle decomposition (one more
+    exchange stage than the 2-D one; see ShardedWCSPHRect)."""
+    return _make_mesh_nd((sx, sy, sz), axes)
 
 
 # particle-state payload: every per-particle field rides migrations and
@@ -127,12 +142,17 @@ def _f32(c):
             else jax.lax.bitcast_convert_type(c, jnp.float32))
 
 
-class ShardedWCSPH2D(SolverBase):
-    """WCSPH over a 2-D ("sx", "sy") device mesh (seg pallas layout only).
+class ShardedWCSPHRect(SolverBase):
+    """WCSPH over a 2- or 3-axis rectangle-decomposition device mesh
+    (seg pallas layout only).
 
     Same physics as WCSPH / ShardedWCSPH (shared pair kernels and seg
-    sweeps); 2-D rectangle ownership with buffered migration + 2-stage
-    halo exchange.
+    sweeps); per-axis quantile-cut rectangle (or box) ownership with
+    buffered per-axis migration + an (n_ax)-stage corner-covering halo
+    exchange, last axis first — each earlier stage's select pool includes
+    the halo rows already received from the later-staged axes, so corner
+    (and 3-axis double-corner) cells ride through.  ``ShardedWCSPH2D`` is
+    the 2-axis alias.
     """
 
     def __init__(
@@ -156,31 +176,75 @@ class ShardedWCSPH2D(SolverBase):
         super().__init__(scene, compat=compat, params=params,
                          sweep_cfg=sweep_cfg, boundary_mode=boundary_mode)
         if scene.dim < 2:
-            raise ValueError("2-D decomposition needs dim >= 2")
-        if len(mesh.axis_names) != 2:
-            raise ValueError(f"need a 2-axis mesh, got {mesh.axis_names}")
+            raise ValueError("rectangle decomposition needs dim >= 2")
+        n_ax = len(mesh.axis_names)
+        if n_ax not in (2, 3):
+            raise ValueError(
+                f"need a 2- or 3-axis mesh, got {mesh.axis_names}"
+            )
+        if n_ax > scene.dim:
+            raise ValueError(
+                f"a {n_ax}-axis mesh cuts the first {n_ax} grid axes; "
+                f"the scene has dim={scene.dim}"
+            )
         self.mesh = mesh
-        self.ax_x, self.ax_y = mesh.axis_names
-        self.Sx, self.Sy = mesh.devices.shape
-        self.n_shards = self.Sx * self.Sy
+        self.n_ax = n_ax
+        self._letters = "xyz"[:n_ax]
+        self.axes = list(mesh.axis_names)
+        self.sizes = [int(s) for s in mesh.devices.shape]
+        self.ax_x, self.ax_y = self.axes[0], self.axes[1]
+        self.Sx, self.Sy = self.sizes[0], self.sizes[1]
+        if n_ax == 3:
+            self.ax_z, self.Sz = self.axes[2], self.sizes[2]
+        self.n_shards = int(np.prod(self.sizes))
         self.balance_slack = float(balance_slack)
         self.buffer_slack = float(buffer_slack)
-        self._sharding = NamedSharding(mesh, P((self.ax_x, self.ax_y)))
+        self._sharding = NamedSharding(mesh, P(tuple(self.axes)))
         self._replicated = NamedSharding(mesh, P())
-        # halo / migration buffer capacities (rows; resolved at bind,
-        # doubled by regrow_buffers when occ_halo trips)
-        self.cap_hx: int | None = None
-        self.cap_hy: int | None = None
-        self.cap_mx: int | None = None
-        self.cap_my: int | None = None
         self._shard_rows: int | None = None
-        # cut tables (static jnp constants rebuilt by rebalance())
-        self._tbl_sx = None   # (res_x,) i32 -> sx
-        self._tbl_sy = None   # (res_y,) i32 -> sy (GLOBAL y-cuts)
-        self._xlo = None      # (Sx,) i32 slab cell bounds [xlo, xhi)
-        self._xhi = None
-        self._ylo = None      # (Sy,) i32 band cell bounds [ylo, yhi)
-        self._yhi = None
+        # per-axis halo / migration buffer capacities (rows; resolved at
+        # bind, doubled by regrow_buffers when occ_halo trips) and cut
+        # tables (static jnp constants rebuilt by rebalance()):
+        #   cap_h{x,y,z} / cap_m{x,y,z}: int | None
+        #   _tbl_s{x,y,z}: (res_a,) i32 -> shard index along axis a
+        #   _{x,y,z}lo / _{x,y,z}hi: (S_a,) i32 cell bounds [lo, hi)
+        for L in self._letters:
+            setattr(self, f"cap_h{L}", None)
+            setattr(self, f"cap_m{L}", None)
+            setattr(self, f"_tbl_s{L}", None)
+            setattr(self, f"_{L}lo", None)
+            setattr(self, f"_{L}hi", None)
+
+    # -- per-axis accessors (the named attributes are the public surface,
+    #    kept for the 2-axis call sites; internals index by axis) --------
+    def _tbl(self, a):
+        return getattr(self, f"_tbl_s{self._letters[a]}")
+
+    def _lo_t(self, a):
+        return getattr(self, f"_{self._letters[a]}lo")
+
+    def _hi_t(self, a):
+        return getattr(self, f"_{self._letters[a]}hi")
+
+    def _cap_h(self, a):
+        return getattr(self, f"cap_h{self._letters[a]}")
+
+    def _cap_m(self, a):
+        return getattr(self, f"cap_m{self._letters[a]}")
+
+    def _perms(self, a):
+        """(fwd, bwd) ppermute pairs along mesh axis ``a``."""
+        S = self.sizes[a]
+        fwd = [(i, i + 1) for i in range(S - 1)]
+        bwd = [(i + 1, i) for i in range(S - 1)]
+        return fwd, bwd
+
+    def _linear_shard(self, ss):
+        """Row-major linear shard index from per-axis indices."""
+        idx = ss[0]
+        for a in range(1, self.n_ax):
+            idx = idx * self.sizes[a] + ss[a]
+        return idx
 
     # ------------------------------------------------------------------
     # bind: caps, cuts, distribution
@@ -203,10 +267,10 @@ class ShardedWCSPH2D(SolverBase):
         cfg = self.sweep_cfg
         if cfg.impl != "pallas" or cfg.layout != "seg":
             raise NotImplementedError(
-                "ShardedWCSPH2D implements the pallas seg layout only"
+                "ShardedWCSPHRect implements the pallas seg layout only"
             )
         if cfg.sub_slabs != 1:
-            raise NotImplementedError("ShardedWCSPH2D supports sub_slabs=1")
+            raise NotImplementedError("ShardedWCSPHRect supports sub_slabs=1")
         import dataclasses as _dc
 
         wcap = int(-(-(cfg.window_cap + 128) // cfg.tile) * cfg.tile)
@@ -215,9 +279,10 @@ class ShardedWCSPH2D(SolverBase):
         if self.spec.num_cells >= 2**24:
             raise ValueError("pallas sweep needs num_cells < 2**24")
         res = self.spec.res
-        if res[0] < self.Sx or res[1] < self.Sy:
+        if any(int(res[a]) < self.sizes[a] for a in range(self.n_ax)):
             raise ValueError(
-                f"grid {res} too small for a {self.Sx}x{self.Sy} mesh"
+                f"grid {res} too small for a "
+                f"{'x'.join(map(str, self.sizes))} mesh"
             )
         if self.boundary_mode == "static":
             state = self._precompute_boundary_volumes(state)
@@ -269,16 +334,16 @@ class ShardedWCSPH2D(SolverBase):
 
     # -- cut tables -----------------------------------------------------
     def _make_cuts(self, state: SimState) -> None:
-        """Equal-count quantile cuts of the CURRENT distribution: x into
-        Sx slabs, y into Sy bands.  The y-cuts are GLOBAL (identical in
-        every slab): misaligned per-slab bands would need halo rows from
-        arbitrarily deep inside diagonal shards — rows a 1-layer,
-        mesh-neighbor exchange provably cannot deliver — so alignment is a
-        correctness requirement, not a simplification; residual imbalance
-        is absorbed by balance_slack and the occ_shard-steered rebalance.
-        Only Sx + Sy - 2 scalars cross the device->host boundary."""
-        spec, Sx, Sy = self.spec, self.Sx, self.Sy
-        res_x, res_y = int(spec.res[0]), int(spec.res[1])
+        """Equal-count quantile cuts of the CURRENT distribution along
+        every mesh axis (x slabs, y bands, z sheets).  Each axis's cuts
+        are GLOBAL (identical across the other axes): misaligned per-slab
+        bands would need halo rows from arbitrarily deep inside diagonal
+        shards — rows a 1-layer, mesh-neighbor exchange provably cannot
+        deliver — so alignment is a correctness requirement, not a
+        simplification; residual imbalance is absorbed by balance_slack
+        and the occ_shard-steered rebalance.  Only sum(S_a - 1) scalars
+        cross the device->host boundary."""
+        spec, n_ax, sizes = self.spec, self.n_ax, self.sizes
 
         @jax.jit
         def _cuts(st: SimState):
@@ -286,16 +351,14 @@ class ShardedWCSPH2D(SolverBase):
             act = st.material != MATERIAL_INVALID
             n_act = jnp.sum(act)
             big = jnp.int32(np.iinfo(np.int32).max)
-            cx = jnp.sort(jnp.where(act, coords[:, 0], big))
-            cy = jnp.sort(jnp.where(act, coords[:, 1], big))
-            qx = (jnp.arange(1, Sx) * n_act) // Sx
-            qy = (jnp.arange(1, Sy) * n_act) // Sy
-            return (cx[jnp.clip(qx, 0, st.capacity - 1)],
-                    cy[jnp.clip(qy, 0, st.capacity - 1)])
+            outs = []
+            for a in range(n_ax):
+                ca = jnp.sort(jnp.where(act, coords[:, a], big))
+                qa = (jnp.arange(1, sizes[a]) * n_act) // sizes[a]
+                outs.append(ca[jnp.clip(qa, 0, st.capacity - 1)])
+            return tuple(outs)
 
-        x_cuts, y_cuts = jax.device_get(_cuts(state))
-        x_cuts = np.asarray(x_cuts, np.int64)
-        y_cuts = np.asarray(y_cuts, np.int64)
+        cuts_dev = jax.device_get(_cuts(state))
 
         def monotone(cuts, res):
             """Strictly increasing cuts in [1, res-1]: every slab/band must
@@ -315,36 +378,36 @@ class ShardedWCSPH2D(SolverBase):
             assert (np.diff(cuts) > 0).all() and cuts[0] >= 1, cuts
             return cuts
 
-        x_cuts = monotone(x_cuts, res_x)
-        y_cuts = monotone(y_cuts, res_y)
-        tbl_sx = np.searchsorted(x_cuts, np.arange(res_x), side="right")
-        tbl_sy = np.searchsorted(y_cuts, np.arange(res_y), side="right")
-        xb = np.concatenate([[0], x_cuts, [res_x]]).astype(np.int32)
-        yb = np.concatenate([[0], y_cuts, [res_y]]).astype(np.int32)
-        self._tbl_sx = jnp.asarray(tbl_sx, jnp.int32)
-        self._tbl_sy = jnp.asarray(tbl_sy, jnp.int32)
-        self._xlo, self._xhi = jnp.asarray(xb[:-1]), jnp.asarray(xb[1:])
-        self._ylo, self._yhi = jnp.asarray(yb[:-1]), jnp.asarray(yb[1:])
+        for a, L in enumerate(self._letters):
+            res_a = int(spec.res[a])
+            cuts = monotone(np.asarray(cuts_dev[a], np.int64), res_a)
+            tbl = np.searchsorted(cuts, np.arange(res_a), side="right")
+            b = np.concatenate([[0], cuts, [res_a]]).astype(np.int32)
+            setattr(self, f"_tbl_s{L}", jnp.asarray(tbl, jnp.int32))
+            setattr(self, f"_{L}lo", jnp.asarray(b[:-1]))
+            setattr(self, f"_{L}hi", jnp.asarray(b[1:]))
 
     def _shard_of(self, coords: jax.Array, act: jax.Array):
-        """(sx, sy) of each particle's cell (inactive rows get (0, 0) —
-        callers mask)."""
-        sx = self._tbl_sx[jnp.clip(coords[:, 0], 0, self._tbl_sx.shape[0] - 1)]
-        sy = self._tbl_sy[jnp.clip(coords[:, 1], 0, self._tbl_sy.shape[0] - 1)]
-        z = jnp.zeros_like(sx)
-        return jnp.where(act, sx, z), jnp.where(act, sy, z)
+        """Per-axis shard indices of each particle's cell (inactive rows
+        get 0 on every axis — callers mask)."""
+        out = []
+        for a in range(self.n_ax):
+            tbl = self._tbl(a)
+            s = tbl[jnp.clip(coords[:, a], 0, tbl.shape[0] - 1)]
+            out.append(jnp.where(act, s, jnp.zeros_like(s)))
+        return tuple(out)
 
     def _count_shards(self, state: SimState) -> jax.Array:
         """(n_shards,) active-particle counts under the current cuts."""
-        spec, Sy = self.spec, self.Sy
+        spec = self.spec
 
         @jax.jit
         def _go(st: SimState):
             coords = gridops.cell_coords(st.x, spec)
             act = st.material != MATERIAL_INVALID
-            sx, sy = self._shard_of(coords, act)
+            ss = self._shard_of(coords, act)
             return jax.ops.segment_sum(
-                act.astype(jnp.int32), sx * Sy + sy,
+                act.astype(jnp.int32), self._linear_shard(ss),
                 num_segments=self.n_shards,
             )
 
@@ -354,7 +417,7 @@ class ShardedWCSPH2D(SolverBase):
     def _distribute(self, state: SimState):
         """Global (shard, id) sort + gather into fixed per-shard slots.
         Returns (state with per-shard layout, per-shard active counts)."""
-        spec, Sy, rows = self.spec, self.Sy, self._shard_rows
+        spec, rows = self.spec, self._shard_rows
         S = self.n_shards
 
         @jax.jit
@@ -362,8 +425,8 @@ class ShardedWCSPH2D(SolverBase):
             coords = gridops.cell_coords(st.x, spec)
             ids = gridops.flat_cell_ids(coords, st.material, spec)
             act = ids < spec.num_cells
-            sx, sy = self._shard_of(coords, act)
-            shard = jnp.where(act, sx * Sy + sy, S)
+            ss = self._shard_of(coords, act)
+            shard = jnp.where(act, self._linear_shard(ss), S)
             iota = jnp.arange(st.capacity, dtype=jnp.int32)
             sh_s, ids_s, perm = jax.lax.sort(
                 (shard, ids, iota), num_keys=2, is_stable=True
@@ -398,54 +461,84 @@ class ShardedWCSPH2D(SolverBase):
     def _measure_buffers(self, state: SimState) -> None:
         """Halo / migration buffer row caps from the worst shard's 1-cell
         boundary layers of the CURRENT distribution (device-side counts;
-        regrow_buffers doubles them when occ_halo trips at runtime)."""
-        spec, Sy = self.spec, self.Sy
+        regrow_buffers doubles them when occ_halo trips at runtime).
+
+        Stage ``a``'s select pool is [own rows ∥ halos received from every
+        LATER-staged axis b > a] — the exchange runs last-axis-first, so
+        e.g. the x stage selects from (own ∥ z-halo ∥ y-halo).  Measuring
+        own edge rows alone undercounts by the corner share and silently
+        drops corner cells when the buffer clips (the round-5 2x4
+        divergence bug: m_xp = 450 > cap 384 measured own-only).  The
+        general pool sums, over every subset T of the later axes and every
+        direction assignment, the count of rows in a's edge layer AND all
+        of T's edge layers, shifted to the receiving shard — for 3 axes
+        the x pool carries the 4 double-corner (rode z THEN y) terms."""
+        from itertools import combinations, product as _iproduct
+
+        spec, n_ax, sizes = self.spec, self.n_ax, self.sizes
 
         @jax.jit
         def _layers(st: SimState):
             coords = gridops.cell_coords(st.x, spec)
             act = st.material != MATERIAL_INVALID
-            sx, sy = self._shard_of(coords, act)
-            shard = sx * Sy + sy
-            cx, cy = coords[:, 0], coords[:, 1]
-            y_top = act & (cy == self._yhi[sy] - 1)
-            y_bot = act & (cy == self._ylo[sy])
+            ss = self._shard_of(coords, act)
+            shard = self._linear_shard(ss)
 
             def counts(mask):
                 return jax.ops.segment_sum(
-                    mask.astype(jnp.int32), shard, num_segments=self.n_shards
-                ).reshape(self.Sx, Sy)
+                    mask.astype(jnp.int32), shard,
+                    num_segments=self.n_shards,
+                ).reshape(tuple(sizes))
 
-            # the x-select pool at shard (sx, sy) is cat1 = own rows PLUS
-            # the received y-halo (the band-edge layers of (sx, sy∓1)) —
-            # measuring own edge-column rows alone undercounts by the
-            # corner share and silently drops corner cells when the buffer
-            # clips (the round-5 2x4 divergence bug: m_xp = 450 > cap 384
-            # measured own-only)
-            def x_pool(x_edge):
-                own = counts(x_edge)
-                from_below = counts(x_edge & y_top)   # rides to (sx, sy+1)
-                from_above = counts(x_edge & y_bot)   # rides to (sx, sy-1)
-                pool = own
-                pool = pool.at[:, 1:].add(from_below[:, :-1])
-                pool = pool.at[:, :-1].add(from_above[:, 1:])
-                return jnp.max(pool)
+            def edge(a, d):
+                c_a = coords[:, a]
+                if d > 0:  # top layer: rides to the a+1 neighbor
+                    return act & (c_a == self._hi_t(a)[ss[a]] - 1)
+                return act & (c_a == self._lo_t(a)[ss[a]])
 
-            x_r = act & (cx == self._xhi[sx] - 1)
-            x_l = act & (cx == self._xlo[sx])
-            return (jnp.max(counts(y_top)), jnp.max(counts(y_bot)),
-                    x_pool(x_r), x_pool(x_l))
+            def shift(arr, b, db):
+                # sender (.., i, ..) -> receiver (.., i + db, ..) along b
+                if db > 0:
+                    dst = tuple(slice(1, None) if i == b else slice(None)
+                                for i in range(n_ax))
+                    src = tuple(slice(0, -1) if i == b else slice(None)
+                                for i in range(n_ax))
+                else:
+                    dst = tuple(slice(0, -1) if i == b else slice(None)
+                                for i in range(n_ax))
+                    src = tuple(slice(1, None) if i == b else slice(None)
+                                for i in range(n_ax))
+                return jnp.zeros_like(arr).at[dst].set(arr[src])
 
-        yt, yb, xr, xl = [int(v) for v in jax.device_get(_layers(state))]
+            caps = []
+            for a in range(n_ax):
+                later = list(range(a + 1, n_ax))
+                worst = []
+                for d_a in (1, -1):
+                    pool = jnp.zeros(tuple(sizes), jnp.int32)
+                    for r in range(len(later) + 1):
+                        for T in combinations(later, r):
+                            for dirs in _iproduct((1, -1), repeat=r):
+                                m = edge(a, d_a)
+                                for b, db in zip(T, dirs):
+                                    m = m & edge(b, db)
+                                c = counts(m)
+                                for b, db in zip(T, dirs):
+                                    c = shift(c, b, db)
+                                pool = pool + c
+                    worst.append(jnp.max(pool))
+                caps.append(jnp.maximum(worst[0], worst[1]))
+            return tuple(caps)
+
+        vals = [int(v) for v in jax.device_get(_layers(state))]
         sl = self.buffer_slack
 
         def cap(v):
             return max(128, -(-int(v * sl) // 128) * 128)
 
-        self.cap_hy = cap(max(yt, yb))
-        self.cap_hx = cap(max(xr, xl))
-        self.cap_my = self.cap_hy
-        self.cap_mx = self.cap_hx
+        for a, L in enumerate(self._letters):
+            setattr(self, f"cap_h{L}", cap(vals[a]))
+            setattr(self, f"cap_m{L}", cap(vals[a]))
 
     # ------------------------------------------------------------------
     # shard-local helpers (traced inside shard_map)
@@ -509,14 +602,15 @@ class ShardedWCSPH2D(SolverBase):
         from tisph_tpu.ops.pallas import sweeps as ps
 
         spec, scfg = self.spec, self.sweep_cfg
-        ax_x, ax_y, Sx, Sy = self.ax_x, self.ax_y, self.Sx, self.Sy
+        n_ax, sizes, names = self.n_ax, self.sizes, self.axes
         rows = self._shard_rows
         block = scfg.block_size
         block_cap = scfg.pad_capacity // block
-        Hx, Hy = self.cap_hx, self.cap_hy
-        Mx, My = self.cap_mx, self.cap_my
-        axes2 = (ax_x, ax_y)
-        pspec = P(axes2)
+        caps_h = [self._cap_h(a) for a in range(n_ax)]
+        caps_m = [self._cap_m(a) for a in range(n_ax)]
+        perms = [self._perms(a) for a in range(n_ax)]
+        axes_t = tuple(names)
+        pspec = P(axes_t)
         layout = _payload_layout(state)
         dtypes = []
         col_ix = {}
@@ -528,10 +622,6 @@ class ShardedWCSPH2D(SolverBase):
         MATC = col_ix["material"]
         XC = col_ix["x"]
         dim = state.dim
-        fwd_x = [(i, i + 1) for i in range(Sx - 1)]
-        bwd_x = [(i + 1, i) for i in range(Sx - 1)]
-        fwd_y = [(i, i + 1) for i in range(Sy - 1)]
-        bwd_y = [(i + 1, i) for i in range(Sy - 1)]
         big = jnp.int32(np.iinfo(np.int32).max)
         sentinel = spec.num_cells
 
@@ -550,17 +640,17 @@ class ShardedWCSPH2D(SolverBase):
             material = jax.lax.bitcast_convert_type(mat[:, MATC], jnp.int32)
             return ids, coords, material
 
-        def migrate_axis(mat, d, axis_name, cap, fwd, bwd):
+        def migrate_axis(mat, d, a):
             """Move rows with d==+1 / d==-1 to the ring neighbors along
-            ``axis_name`` via two fixed-cap buffers; departed rows are
+            mesh axis ``a`` via two fixed-cap buffers; departed rows are
             neutralized in place, received buffers appended.  Returns
             ((n+2*cap, C) matrix, overflow_rows)."""
             act = jax.lax.bitcast_convert_type(mat[:, IDC], jnp.int32) < sentinel
             m_p = act & (d == 1)
             m_m = act & (d == -1)
-            buf_p, _, sent_p, ovf_p = self._select_rows(mat, m_p, cap,
+            buf_p, _, sent_p, ovf_p = self._select_rows(mat, m_p, caps_m[a],
                                                         IDC, MATC)
-            buf_m, _, sent_m, ovf_m = self._select_rows(mat, m_m, cap,
+            buf_m, _, sent_m, ovf_m = self._select_rows(mat, m_m, caps_m[a],
                                                         IDC, MATC)
             # neutralize exactly the rows the buffers carry — an overflow
             # row stays in place (wrong shard for one more rebuild,
@@ -572,19 +662,19 @@ class ShardedWCSPH2D(SolverBase):
             mat = mat.at[:, MATC].set(
                 _f32(jnp.where(gone, MATERIAL_INVALID, mats0))
             )
-            idx = jax.lax.axis_index(axis_name)
-            size = Sx if axis_name == ax_x else Sy
-            in_p = jax.lax.ppermute(buf_p, axis_name, fwd)   # from idx-1
-            in_m = jax.lax.ppermute(buf_m, axis_name, bwd)   # from idx+1
+            idx = jax.lax.axis_index(names[a])
+            fwd, bwd = perms[a]
+            in_p = jax.lax.ppermute(buf_p, names[a], fwd)   # from idx-1
+            in_m = jax.lax.ppermute(buf_m, names[a], bwd)   # from idx+1
             in_p = self._neutralize(in_p, idx - 1 >= 0, IDC, MATC)
-            in_m = self._neutralize(in_m, idx + 1 < size, IDC, MATC)
+            in_m = self._neutralize(in_m, idx + 1 < sizes[a], IDC, MATC)
             return jnp.concatenate([mat, in_p, in_m]), ovf_p + ovf_m
 
         n_cols = len(cols_of_state(state))
         out_specs = (
             (pspec,) * n_cols             # kept state columns
-            + (pspec,) * 7                # ids_l, idx_yp, idx_ym, idx_xp,
-            #                               idx_xm, perm_e, ids_e
+            + (pspec,) * (3 + 2 * n_ax)   # ids_l, 2 halo idx per axis,
+            #                               perm_e, ids_e
             + (ps.SegMeta(pspec, pspec, pspec), pspec)  # meta, back_valid
             + (P(),) * 5                  # need, pad_need, cnt, anom, ovf
         )
@@ -593,8 +683,7 @@ class ShardedWCSPH2D(SolverBase):
                  in_specs=(pspec,) * n_cols, out_specs=out_specs,
                  check_vma=False)
         def build_shard(*cols_l):
-            sxi = jax.lax.axis_index(ax_x)
-            syi = jax.lax.axis_index(ax_y)
+            my = [jax.lax.axis_index(names[a]) for a in range(n_ax)]
             # assemble payload (+ids col 0)
             xs = jnp.stack(cols_l[XC - 1:XC - 1 + dim], axis=1)
             material = cols_l[MATC - 1]
@@ -602,22 +691,19 @@ class ShardedWCSPH2D(SolverBase):
             ids = gridops.flat_cell_ids(coords, material, spec)
             mat0 = self._stack([ids, *cols_l])
 
-            # ---- migration (x then y) ----
-            act = ids < sentinel
-            tsx, tsy0 = self._shard_of(coords, act)
-            dx = jnp.where(act, tsx - sxi, 0)
-            anom = jnp.sum((jnp.abs(dx) > 1).astype(jnp.int32))
-            mat1, ovf_x = migrate_axis(
-                mat0, jnp.clip(dx, -1, 1), ax_x, Mx, fwd_x, bwd_x
-            )
-            ids1, coords1, _ = decode(mat1)
-            act1 = ids1 < sentinel
-            tsx1, tsy1 = self._shard_of(coords1, act1)
-            dy = jnp.where(act1, tsy1 - syi, 0)
-            anom = anom + jnp.sum((jnp.abs(dy) > 1).astype(jnp.int32))
-            mat2, ovf_y = migrate_axis(
-                mat1, jnp.clip(dy, -1, 1), ax_y, My, fwd_y, bwd_y
-            )
+            # ---- migration (one buffered phase per axis, x -> y -> z;
+            # a diagonal migrant rides every phase it needs) ----
+            mat2 = mat0
+            anom = jnp.zeros((), jnp.int32)
+            ovf_mig = jnp.zeros((), jnp.int32)
+            for a in range(n_ax):
+                ids_c, coords_c, _ = decode(mat2)
+                act_c = ids_c < sentinel
+                ts = self._shard_of(coords_c, act_c)
+                d = jnp.where(act_c, ts[a] - my[a], 0)
+                anom = anom + jnp.sum((jnp.abs(d) > 1).astype(jnp.int32))
+                mat2, ovf = migrate_axis(mat2, jnp.clip(d, -1, 1), a)
+                ovf_mig = ovf_mig + ovf
 
             # ---- local sort by cell id + fixed cut ----
             ids2 = jax.lax.bitcast_convert_type(mat2[:, IDC], jnp.int32)
@@ -638,36 +724,32 @@ class ShardedWCSPH2D(SolverBase):
             plan = gridops.seg_plan(ids_l, spec, block, block_cap,
                                     bounds=bounds_l)
 
-            # ---- halo: y stage then x stage (corners ride x) ----
-            _, coords_k, _ = decode(kept)
-            cy_k = coords_k[:, 1]
-            cx_k = coords_k[:, 0]
-            act_k = ids_l < sentinel
-            yhi = self._yhi[syi]
-            ylo = self._ylo[syi]
-            m_yp = act_k & (cy_k == yhi - 1)
-            m_ym = act_k & (cy_k == ylo)
-            buf_yp, idx_yp, _, o1 = self._select_rows(kept, m_yp, Hy, IDC, MATC)
-            buf_ym, idx_ym, _, o2 = self._select_rows(kept, m_ym, Hy, IDC, MATC)
-            y_in_p = jax.lax.ppermute(buf_yp, ax_y, fwd_y)
-            y_in_m = jax.lax.ppermute(buf_ym, ax_y, bwd_y)
-            y_in_p = self._neutralize(y_in_p, syi - 1 >= 0, IDC, MATC)
-            y_in_m = self._neutralize(y_in_m, syi + 1 < Sy, IDC, MATC)
-            cat1 = jnp.concatenate([kept, y_in_p, y_in_m])
-
-            ids_c1, coords_c1, _ = decode(cat1)
-            act_c1 = ids_c1 < sentinel
-            xhi = self._xhi[sxi]
-            xlo = self._xlo[sxi]
-            m_xp = act_c1 & (coords_c1[:, 0] == xhi - 1)
-            m_xm = act_c1 & (coords_c1[:, 0] == xlo)
-            buf_xp, idx_xp, _, o3 = self._select_rows(cat1, m_xp, Hx, IDC, MATC)
-            buf_xm, idx_xm, _, o4 = self._select_rows(cat1, m_xm, Hx, IDC, MATC)
-            x_in_p = jax.lax.ppermute(buf_xp, ax_x, fwd_x)
-            x_in_m = jax.lax.ppermute(buf_xm, ax_x, bwd_x)
-            x_in_p = self._neutralize(x_in_p, sxi - 1 >= 0, IDC, MATC)
-            x_in_m = self._neutralize(x_in_m, sxi + 1 < Sx, IDC, MATC)
-            ext = jnp.concatenate([cat1, x_in_p, x_in_m])
+            # ---- halo: last axis first (z, then y over own ∥ z-halo,
+            # then x over own ∥ z ∥ y halos — corners and double-corners
+            # ride the earlier-received buffers through later stages) ----
+            cat = kept
+            idx_list = []
+            ovf_h = jnp.zeros((), jnp.int32)
+            for a in range(n_ax - 1, -1, -1):
+                ids_c, coords_c, _ = decode(cat)
+                act_c = ids_c < sentinel
+                hi_a = self._hi_t(a)[my[a]]
+                lo_a = self._lo_t(a)[my[a]]
+                m_p = act_c & (coords_c[:, a] == hi_a - 1)
+                m_m = act_c & (coords_c[:, a] == lo_a)
+                buf_p, idx_p, _, o1 = self._select_rows(cat, m_p, caps_h[a],
+                                                        IDC, MATC)
+                buf_m, idx_m, _, o2 = self._select_rows(cat, m_m, caps_h[a],
+                                                        IDC, MATC)
+                fwd, bwd = perms[a]
+                in_p = jax.lax.ppermute(buf_p, names[a], fwd)
+                in_m = jax.lax.ppermute(buf_m, names[a], bwd)
+                in_p = self._neutralize(in_p, my[a] - 1 >= 0, IDC, MATC)
+                in_m = self._neutralize(in_m, my[a] + 1 < sizes[a], IDC, MATC)
+                cat = jnp.concatenate([cat, in_p, in_m])
+                idx_list.extend([idx_p, idx_m])
+                ovf_h = ovf_h + o1 + o2
+            ext = cat
 
             # ---- id-merge of the extended array ----
             ids_ext = jax.lax.bitcast_convert_type(ext[:, IDC], jnp.int32)
@@ -684,24 +766,27 @@ class ShardedWCSPH2D(SolverBase):
             )
 
             # ---- fold diagnostics over the whole mesh ----
-            need = jax.lax.pmax(need.astype(jnp.int32), axes2)
+            need = jax.lax.pmax(need.astype(jnp.int32), axes_t)
             pad_need = jax.lax.pmax(
-                (plan.need_blocks * block).astype(jnp.int32), axes2
+                (plan.need_blocks * block).astype(jnp.int32), axes_t
             )
-            cnt = jax.lax.pmax(cnt, axes2)
-            anom = jax.lax.pmax(anom + ovf_x + ovf_y, axes2)
-            ovf = jax.lax.pmax(o1 + o2 + o3 + o4, axes2)
+            cnt = jax.lax.pmax(cnt, axes_t)
+            anom = jax.lax.pmax(anom + ovf_mig, axes_t)
+            ovf = jax.lax.pmax(ovf_h, axes_t)
 
             kept_cols = tuple(self._cols_of(kept[:, 1:], dtypes[1:]))
             return (kept_cols
-                    + (ids_l, idx_yp, idx_ym, idx_xp, idx_xm, perm_e, ids_e)
+                    + (ids_l,) + tuple(idx_list) + (perm_e, ids_e)
                     + (meta, plan.back_valid)
                     + (need, pad_need, cnt, anom, ovf))
 
         outs = build_shard(*cols_of_state(state))
         kept_cols = outs[:n_cols]
-        (ids_l, idx_yp, idx_ym, idx_xp, idx_xm, perm_e, ids_e,
-         meta, back_valid, need, pad_need, cnt, anom, ovf) = outs[n_cols:]
+        rest = outs[n_cols:]
+        ids_l = rest[0]
+        idxs = rest[1:1 + 2 * n_ax]
+        perm_e, ids_e = rest[1 + 2 * n_ax:3 + 2 * n_ax]
+        (meta, back_valid, need, pad_need, cnt, anom, ovf) = rest[3 + 2 * n_ax:]
 
         # rebuild state fields from the kept columns
         new_fields = {}
@@ -732,32 +817,30 @@ class ShardedWCSPH2D(SolverBase):
                 jnp.asarray(state.occ_halo, jnp.int32), (ovf > 0).astype(jnp.int32)
             ),
         )
-        cache = (meta, back_valid, ids_l, ids_e, perm_e,
-                 idx_yp, idx_ym, idx_xp, idx_xm)
+        cache = (meta, back_valid, ids_l, ids_e, perm_e, *idxs)
         return state, cache
 
     def _exchange_sweep(self, state: SimState, cache, mode: str):
         """One halo-refreshed sweep against the cached structure:
-        cached-index value gathers + 4 buffer ppermutes (y then x stage),
-        cached merge permutation, then the seg kernel with the local pack
-        as the separate i side.  Modes: 'density', 'force', and the rigid
+        cached-index value gathers + 2 buffer ppermutes per mesh axis
+        (last axis first, the _seg_build stage order), cached merge
+        permutation, then the seg kernel with the local pack as the
+        separate i side.  Modes: 'density', 'force', and the rigid
         pipeline's 'bvol' / 'force_react'."""
         from tisph_tpu.ops.pallas import sweeps as ps
 
         spec, params, scfg = self.spec, self.params, self.sweep_cfg
-        ax_x, ax_y = self.ax_x, self.ax_y
-        (meta, back_valid, ids_l, ids_e, perm_e,
-         idx_yp, idx_ym, idx_xp, idx_xm) = cache
-        pspec = P((ax_x, ax_y))
-        fwd_x = [(i, i + 1) for i in range(self.Sx - 1)]
-        bwd_x = [(i + 1, i) for i in range(self.Sx - 1)]
-        fwd_y = [(i, i + 1) for i in range(self.Sy - 1)]
-        bwd_y = [(i + 1, i) for i in range(self.Sy - 1)]
+        n_ax, names = self.n_ax, self.axes
+        (meta, back_valid, ids_l, ids_e, perm_e, *idxs) = cache
+        pspec = P(tuple(names))
+        perms = [self._perms(a) for a in range(n_ax)]
         kw = dict(tile=scfg.tile, interpret=scfg.interpret,
                   fast_math=scfg.fast_math)
 
-        def sweep_shard(ids_l_c, ids_e_c, perm_e_c,
-                        iyp, iym, ixp, ixm, meta_c, bval, *fields):
+        def sweep_shard(ids_l_c, ids_e_c, perm_e_c, *rest):
+            idx_c = rest[:2 * n_ax]
+            meta_c, bval = rest[2 * n_ax], rest[2 * n_ax + 1]
+            fields = rest[2 * n_ax + 2:]
             f_local = dict(zip(_FIELD_KEYS, fields))
             cols = []
             for k in _FIELD_KEYS:
@@ -765,15 +848,18 @@ class ShardedWCSPH2D(SolverBase):
                 cols.extend([a] if a.ndim == 1 else
                             [a[:, c] for c in range(a.shape[1])])
             dts = [c.dtype for c in cols]
-            mat = self._stack(cols)
-            y_in_p = jax.lax.ppermute(jnp.take(mat, iyp, axis=0), ax_y, fwd_y)
-            y_in_m = jax.lax.ppermute(jnp.take(mat, iym, axis=0), ax_y, bwd_y)
-            cat1 = jnp.concatenate([mat, y_in_p, y_in_m])
-            x_in_p = jax.lax.ppermute(jnp.take(cat1, ixp, axis=0), ax_x, fwd_x)
-            x_in_m = jax.lax.ppermute(jnp.take(cat1, ixm, axis=0), ax_x, bwd_x)
-            ext = jnp.take(
-                jnp.concatenate([cat1, x_in_p, x_in_m]), perm_e_c, axis=0
-            )
+            cat = self._stack(cols)
+            # stale values on the edge shards' wrap-around buffers are
+            # harmless: the cached ids_e marks those rows inactive
+            for i, a in enumerate(range(n_ax - 1, -1, -1)):
+                ip, im = idx_c[2 * i], idx_c[2 * i + 1]
+                fwd, bwd = perms[a]
+                in_p = jax.lax.ppermute(jnp.take(cat, ip, axis=0),
+                                        names[a], fwd)
+                in_m = jax.lax.ppermute(jnp.take(cat, im, axis=0),
+                                        names[a], bwd)
+                cat = jnp.concatenate([cat, in_p, in_m])
+            ext = jnp.take(cat, perm_e_c, axis=0)
             ecols = self._cols_of(ext, dts)
             f_ext, o = {}, 0
             for k in _FIELD_KEYS:
@@ -810,7 +896,8 @@ class ShardedWCSPH2D(SolverBase):
             return jnp.where((bval & fluid)[:, None], out, 0.0)
 
         meta_spec = ps.SegMeta(pspec, pspec, pspec)
-        in_specs = (pspec,) * 7 + (meta_spec, pspec) + (pspec,) * len(_FIELD_KEYS)
+        in_specs = ((pspec,) * (3 + 2 * n_ax) + (meta_spec, pspec)
+                    + (pspec,) * len(_FIELD_KEYS))
 
         @partial(jax.shard_map, mesh=self.mesh, in_specs=in_specs,
                  out_specs=pspec, check_vma=False)
@@ -819,7 +906,7 @@ class ShardedWCSPH2D(SolverBase):
 
         f = F.state_fields(state)
         return shard(
-            ids_l, ids_e, perm_e, idx_yp, idx_ym, idx_xp, idx_xm,
+            ids_l, ids_e, perm_e, *idxs,
             meta, back_valid, *[f[k] for k in _FIELD_KEYS],
         )
 
@@ -859,9 +946,9 @@ class ShardedWCSPH2D(SolverBase):
         (<= R-1 substeps of ballistic flight — the same contract as
         SolverBase.rollout_emit's fused 1-D cadence)."""
         spec, rows = self.spec, self._shard_rows
-        ax_x, ax_y = self.ax_x, self.ax_y
-        axes2 = (ax_x, ax_y)
-        pspec = P(axes2)
+        n_ax, names = self.n_ax, self.axes
+        axes_t = tuple(names)
+        pspec = P(axes_t)
         rspec = P()
         dim = state.dim
         B = es.batch_size
@@ -879,15 +966,16 @@ class ShardedWCSPH2D(SolverBase):
         def emit_shard(maybe_c, seeds, evel, ecol, eden,
                        x, v, density, pressure, mass, volume, material,
                        color, object_id):
-            sxi = jax.lax.axis_index(ax_x)
-            syi = jax.lax.axis_index(ax_y)
+            my = [jax.lax.axis_index(names[a]) for a in range(n_ax)]
             coords = gridops.cell_coords(seeds, spec)
-            ssx, ssy = self._shard_of(coords, jnp.ones((B,), bool))
-            owned = (ssx == sxi) & (ssy == syi)
+            ss = self._shard_of(coords, jnp.ones((B,), bool))
+            owned = jnp.ones((B,), bool)
+            for a in range(n_ax):
+                owned = owned & (ss[a] == my[a])
             k = jnp.sum(owned.astype(jnp.int32))
             cnt = jnp.sum((material != MATERIAL_INVALID).astype(jnp.int32))
             room = jax.lax.pmin(
-                ((cnt + k) <= rows).astype(jnp.int32), axes2
+                ((cnt + k) <= rows).astype(jnp.int32), axes_t
             )
             fire = maybe_c & (room > 0)
             idx = cnt + jnp.cumsum(owned.astype(jnp.int32)) - 1
@@ -1019,9 +1107,11 @@ class ShardedWCSPH2D(SolverBase):
     def regrow_buffers(self, factor: float = 2.0) -> None:
         """Deepen the halo/migration buffer caps (occ_halo tripped: some
         1-cell layer outgrew its buffer) and drop compiled artifacts."""
-        for name in ("cap_hx", "cap_hy", "cap_mx", "cap_my"):
-            v = int(getattr(self, name) * factor)
-            setattr(self, name, max(128, -(-v // 128) * 128))
+        for L in self._letters:
+            for kind in ("h", "m"):
+                name = f"cap_{kind}{L}"
+                v = int(getattr(self, name) * factor)
+                setattr(self, name, max(128, -(-v // 128) * 128))
         for name in [k for k in vars(self) if k.endswith("_jit")]:
             setattr(self, name, None)
 
@@ -1079,12 +1169,12 @@ class ShardedWCSPH2D(SolverBase):
                           f"{self._shard_rows}; rebalancing cuts (recompile)")
                 state = self.rebalance(state)
             if int(jax.device_get(state.occ_halo)):
-                old = (self.cap_hx, self.cap_hy)
+                old = tuple(self._cap_h(a) for a in range(self.n_ax))
                 self.regrow_buffers()
+                new = tuple(self._cap_h(a) for a in range(self.n_ax))
                 if verbose:
-                    print(f"[tisph] 2-D halo/migration buffer overflow at "
-                          f"caps {old}; deepened to "
-                          f"({self.cap_hx}, {self.cap_hy}) (recompile)")
+                    print(f"[tisph] rect halo/migration buffer overflow at "
+                          f"caps {old}; deepened to {new} (recompile)")
             occ = int(jax.device_get(state.occ_window))
             cap = self._occ_cap()
             if cap and occ > warn_frac * cap:
@@ -1147,6 +1237,11 @@ class ShardedWCSPH2D(SolverBase):
             cfg.pad_capacity if cfg is not None else 0, jnp.int32
         )
         out["halo_buf_rows"] = jnp.asarray(
-            (self.cap_hx or 0) + (self.cap_hy or 0), jnp.int32
+            sum(self._cap_h(a) or 0 for a in range(self.n_ax)), jnp.int32
         )
         return out
+
+
+# the 2-axis (x × y) decomposition is the common case; the class accepts
+# 2- or 3-axis meshes uniformly, so the historical name is an alias
+ShardedWCSPH2D = ShardedWCSPHRect
