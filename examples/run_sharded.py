@@ -1,5 +1,6 @@
 """Multi-chip example: the sharded WCSPH solver over a 1-D device mesh,
-or the 2-D (x × y) rectangle decomposition via --mesh2d.
+or the rectangle decomposition (2-axis x × y, or 3-axis x × y × z box)
+via --mesh2d.
 
 On a TPU pod slice this runs across real chips; on a single host use CPU
 device emulation to exercise the same collectives:
@@ -24,9 +25,9 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("scene")
     ap.add_argument("--devices", type=int, default=None)
-    ap.add_argument("--mesh2d", default=None, metavar="SXxSY",
-                    help="use the 2-D rectangle decomposition "
-                    "(ShardedWCSPH2D) on an SXxSY mesh")
+    ap.add_argument("--mesh2d", default=None, metavar="SXxSY[xSZ]",
+                    help="use the rectangle decomposition "
+                    "(ShardedWCSPHRect) on an SXxSY (or SXxSYxSZ box) mesh")
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (for device emulation)")
@@ -39,20 +40,23 @@ def main() -> int:
 
     import tisph_tpu as tt
     from tisph_tpu.parallel import (
-        ShardedWCSPH, ShardedWCSPH2D, make_mesh, make_mesh2d,
+        ShardedWCSPH, ShardedWCSPHRect, make_mesh, make_mesh2d, make_mesh3d,
     )
 
     scene = tt.load_scene(args.scene)
     state = tt.build_state(scene)
     if args.mesh2d:
-        sx, sy = map(int, args.mesh2d.lower().split("x"))
-        mesh = make_mesh2d(sx, sy)
-        print(f"mesh: {sx}x{sy} ({mesh.devices.ravel()[0].platform})")
-        solver = ShardedWCSPH2D(scene, mesh)
+        sizes = tuple(map(int, args.mesh2d.lower().split("x")))
+        mesh = (make_mesh2d(*sizes) if len(sizes) == 2
+                else make_mesh3d(*sizes))
+        print(f"mesh: {'x'.join(map(str, sizes))} "
+              f"({mesh.devices.ravel()[0].platform})")
+        solver = ShardedWCSPHRect(scene, mesh)
         state = solver.bind(state)
+        bufs = "/".join(f"H{L}={getattr(solver, f'cap_h{L}')}"
+                        for L in solver._letters)
         print(f"particles: {int(jax.device_get(state.num_active))}, "
-              f"halo bufs Hy={solver.cap_hy}/Hx={solver.cap_hx} rows, "
-              f"shard={solver._shard_rows} rows")
+              f"halo bufs {bufs} rows, shard={solver._shard_rows} rows")
     else:
         mesh = make_mesh(args.devices)
         print(f"mesh: {mesh.devices.size} devices "

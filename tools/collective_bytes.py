@@ -21,6 +21,8 @@ import json
 import os
 import re
 
+import numpy as np
+
 _DTYPE_BYTES = {
     "f64": 8, "f32": 4, "bf16": 2, "f16": 2,
     "s64": 8, "u64": 8, "s32": 4, "u32": 4,
@@ -156,9 +158,10 @@ def main():
                     "(a long channel keeps the exchange-resort edge and "
                     "the 1-D halo below shard_rows — the production "
                     "regime, VERDICT r4 #2)")
-    ap.add_argument("--mesh2d", default=None, metavar="SXxSY",
-                    help="measure the 2-D decomposition (ShardedWCSPH2D) "
-                    "on an SXxSY mesh instead of the 1-D slab solver")
+    ap.add_argument("--mesh2d", default=None, metavar="SXxSY[xSZ]",
+                    help="measure the rectangle decomposition "
+                    "(ShardedWCSPHRect) on an SXxSY (or SXxSYxSZ box) mesh "
+                    "instead of the 1-D slab solver")
     args = ap.parse_args()
 
     flags = os.environ.get("XLA_FLAGS", "")
@@ -173,7 +176,7 @@ def main():
     import tisph_tpu as tt
     from tisph_tpu.ops.neighbors import SweepConfig
     from tisph_tpu.parallel import (
-        ShardedWCSPH, ShardedWCSPH2D, make_mesh, make_mesh2d,
+        ShardedWCSPH, ShardedWCSPHRect, make_mesh, make_mesh2d, make_mesh3d,
     )
 
     ex = args.extent
@@ -191,19 +194,20 @@ def main():
         "rigidBodies": [],
     })
     if args.mesh2d:
-        sx, sy = map(int, args.mesh2d.lower().split("x"))
-        if sx * sy != args.devices:
+        sizes = tuple(map(int, args.mesh2d.lower().split("x")))
+        if int(np.prod(sizes)) != args.devices:
             raise SystemExit(f"--mesh2d {args.mesh2d} != {args.devices} devices")
-        mesh2 = make_mesh2d(sx, sy)
+        mesh2 = (make_mesh2d(*sizes) if len(sizes) == 2
+                 else make_mesh3d(*sizes))
         cfg = SweepConfig(
             impl="pallas", block_size=128, window_cap=1152, tile=128,
             interpret=True, layout="seg", resort_every=args.resort,
         )
-        solver = ShardedWCSPH2D(scene, mesh2, sweep_cfg=cfg)
+        solver = ShardedWCSPHRect(scene, mesh2, sweep_cfg=cfg)
         state = solver.bind(tt.build_state(scene))
         import jax.numpy as jnp
         n = int(jax.device_get(jnp.sum(state.material != -1)))
-        res = {"devices": args.devices, "mesh2d": [sx, sy]}
+        res = {"devices": args.devices, "mesh2d": list(sizes)}
 
         def report(name, fn, nsub):
             compiled = jax.jit(fn).lower(state).compile()
@@ -220,13 +224,13 @@ def main():
             return ({k: d["bytes"] for k, d in cb["steady"].items()}
                     | {"total": steady, "fallback_branch": fallback})
 
-        print(f"== 2-D mesh {sx}x{sy}: particles={n} "
-              f"shard_rows={solver._shard_rows} "
-              f"bufs Hy={solver.cap_hy} Hx={solver.cap_hx}")
-        rm = {
-            "particles": n, "shard_rows": solver._shard_rows,
-            "cap_hy": solver.cap_hy, "cap_hx": solver.cap_hx,
-        }
+        caps = {f"cap_h{L}": getattr(solver, f"cap_h{L}")
+                for L in solver._letters}
+        print(f"== rect mesh {'x'.join(map(str, sizes))}: particles={n} "
+              f"shard_rows={solver._shard_rows} bufs "
+              + " ".join(f"H{L}={v}" for L, v in
+                         zip(solver._letters, caps.values())))
+        rm = {"particles": n, "shard_rows": solver._shard_rows, **caps}
         rm["step"] = report("full step (R=1)", solver._step_fn, 1)
         R = args.resort
         if R > 1:
