@@ -72,8 +72,13 @@ def main() -> int:
         from tisph_tpu.geometry.emitter import make_emitter_state
 
         emitters = [make_emitter_state(e, scene) for e in scene.emitters]
-        state, emitters = solver.rollout_emit(state, emitters, 1)  # compile
-        jax.block_until_ready(state.x)
+        # warm up with the SAME static num_steps (rollout_emit jits with
+        # static_argnums: a different n is a different program, and a
+        # warm-up at n=1 would leave the full trace+compile inside the
+        # timed region); results are discarded so the timed rollout still
+        # starts from the initial state
+        warm = solver.rollout_emit(state, emitters, args.steps)
+        jax.block_until_ready(warm[0].x)
         t0 = time.time()
         state, emitters = solver.rollout_emit(state, emitters, args.steps)
         jax.block_until_ready(state.x)

@@ -476,3 +476,74 @@ def test_sharded_rigid_coupled_matches_single_chip(tmp_path, resort_every):
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(r1.omega), np.asarray(r2.omega),
                                atol=1e-4)
+
+
+@pytest.mark.parametrize("mesh_kind", ["slab", "rect"])
+def test_sharded_plain_step_recomputes_boundary_volumes(tmp_path, mesh_kind):
+    """A PLAIN (non-coupled) sharded step on a dynamic-rigid scene must
+    recompute the Akinci boundary volumes every substep, exactly like the
+    single-chip per_step path (models/wcsph.py::_seg_apply_pack): bind
+    skips the static precompute under boundary_mode='per_step' (which is
+    auto-selected for rigid scenes), so a missing bvol sweep would freeze
+    boundary rows at build_state's uniform volume0 — a silent physics
+    divergence the round-5 review caught in both sharded classes."""
+    from tisph_tpu.ops.neighbors import SweepConfig
+    from tisph_tpu.parallel import ShardedWCSPHRect, make_mesh2d
+
+    scene = _rigid_scene(tmp_path)
+    cfg = dict(impl="pallas", block_size=128, window_cap=1152, tile=128,
+               interpret=True, layout="seg")
+    steps = 3
+
+    s1 = tt.WCSPH(scene, sweep_cfg=SweepConfig(**cfg),
+                  boundary_mode="per_step")
+    st1 = s1.bind(tt.build_state(scene))
+    for _ in range(steps):
+        st1 = s1.step(st1)
+    o1 = jax.device_get(st1)
+
+    if mesh_kind == "slab":
+        s2 = ShardedWCSPH(scene, make_mesh(4), sweep_cfg=SweepConfig(**cfg))
+    else:
+        s2 = ShardedWCSPHRect(scene, make_mesh2d(2, 2),
+                              sweep_cfg=SweepConfig(**cfg))
+    assert s2.boundary_mode == "per_step"  # auto-selected for rigid scenes
+    st2 = s2.bind(tt.build_state(scene))
+    for _ in range(steps):
+        st2 = s2.step(st2)
+    o2 = jax.device_get(st2)
+
+    a1 = np.asarray(o1.material) != -1
+    a2 = np.asarray(o2.material) != -1
+    assert a1.sum() == a2.sum()
+
+    # the bvol sweep actually ran: boundary rows moved off the uniform
+    # volume0 fill that build_state writes
+    bd2 = np.asarray(o2.material) == 0
+    vol0 = float(np.asarray(o2.volume)[a2 & ~bd2].max())
+    dev = np.abs(np.asarray(o2.volume)[bd2] - vol0)
+    assert bd2.sum() > 0 and dev.max() > 0.1 * vol0
+
+    # and it matches the single-chip per_step trajectory.  Boundary rows
+    # never move, so a canonical position sort pairs them exactly — their
+    # Akinci volumes are THE per_step output under test; fluid positions
+    # compare as sets (Hausdorff) because the dam's initial shock makes
+    # near-coincident rows that mispair under any per-row ordering at f32
+    # noise (the test_parallel2d.py coupled-gate precedent)
+    def canon_boundary(o):
+        bd = np.asarray(o.material) == 0
+        x = np.asarray(o.x)[bd]
+        xr = np.round(x / 0.002).astype(np.int64)
+        k = np.lexsort((xr[:, 2], xr[:, 1], xr[:, 0]))
+        return x[k], np.asarray(o.volume)[bd][k]
+
+    bx1, bv1 = canon_boundary(o1)
+    bx2, bv2 = canon_boundary(o2)
+    assert np.abs(bx1 - bx2).max() == 0.0
+    np.testing.assert_allclose(bv1, bv2, rtol=1e-5)
+
+    f1 = np.asarray(o1.x)[np.asarray(o1.material) == 1]
+    f2 = np.asarray(o2.x)[np.asarray(o2.material) == 1]
+    d = np.linalg.norm(f1[:, None, :] - f2[None, :, :], axis=-1)
+    hd = max(d.min(axis=1).max(), d.min(axis=0).max())
+    assert hd < 1e-5, f"plain per_step set divergence {hd:.2e}"

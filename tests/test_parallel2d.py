@@ -143,25 +143,48 @@ def test_2d_migration_moves_particles_between_shards():
     s2 = ShardedWCSPH2D(scene, mesh, sweep_cfg=SweepConfig(**_CFG))
     st = s2.bind(tt.build_state(scene))
     rows = s2._shard_rows
-    counts0 = None
-    for _ in range(6):
-        st = s2.step(st)
-    o = jax.device_get(st)
-    mat = np.asarray(o.material)
-    x = np.asarray(o.x)
     spec = s2.spec
     tbl_sx = np.asarray(s2._tbl_sx)
     tbl_sy = np.asarray(s2._tbl_sy)
     res = np.asarray(spec.res)
-    moved = 0
-    for s in range(s2.n_shards):
+
+    def placement(o, s):
         sl = slice(s * rows, (s + 1) * rows)
-        act = mat[sl] != -1
-        c = np.clip(np.floor(x[sl] / spec.cell_size).astype(int), 0, res - 1)
-        home = (tbl_sx[c[:, 0]] == s // s2.Sy) & (tbl_sy[c[:, 1]] == s % s2.Sy)
-        # every active row sits in its owner shard after the last rebuild
-        # EXCEPT those that moved during the final apply (re-homed at the
-        # next rebuild); one more build settles them:
+        act = np.asarray(o.material)[sl] != -1
+        c = np.clip(np.floor(np.asarray(o.x)[sl] / spec.cell_size)
+                    .astype(int), 0, res - 1)
+        home = ((tbl_sx[c[:, 0]] == s // s2.Sy)
+                & (tbl_sy[c[:, 1]] == s % s2.Sy))
+        return act, c, home
+
+    # mid-run invariant: a rebuild runs at the START of every step, so a
+    # row can be out of its owner shard right after step() ONLY if the
+    # final advect moved its cell — i.e. it must sit within one cell of
+    # its owner rectangle; anything farther means the rebuild misplaced it
+    crossed_any = False
+    for _ in range(6):
+        st = s2.step(st)
+        o = jax.device_get(st)
+        for s in range(s2.n_shards):
+            act, c, home = placement(o, s)
+            stray = act & ~home
+            crossed_any |= bool(stray.any())
+            if stray.any():
+                near = np.zeros(stray.sum(), bool)
+                for dx in (-1, 0, 1):
+                    for dy in (-1, 0, 1):
+                        cx = np.clip(c[stray, 0] + dx, 0, res[0] - 1)
+                        cy = np.clip(c[stray, 1] + dy, 0, res[1] - 1)
+                        near |= ((tbl_sx[cx] == s // s2.Sy)
+                                 & (tbl_sy[cy] == s % s2.Sy))
+                assert near.all(), (
+                    f"shard {s}: rows farther than one cell from their "
+                    f"owner rectangle after step() — the rebuild misplaced "
+                    f"them, not the final advect"
+                )
+    # the dam break's own motion must actually exercise migration
+    assert crossed_any, "no particle ever crossed a cut; test is vacuous"
+    # one more build settles the final-apply movers:
     st2, _ = jax.jit(s2._seg_build)(st)
     o = jax.device_get(st2)
     mat = np.asarray(o.material)
@@ -407,7 +430,6 @@ def test_2d_migration_buffer_overflow_is_lossless():
     st = dataclasses.replace(st, x=jax.numpy.asarray(x))
     st = s2.shard_state(st)
 
-    lost_free = True
     for _ in range(6):  # 300 rows at cap 128 need ~3 rebuilds + ratchets
         st, _ = jax.jit(s2._seg_build)(st)
         n = int((np.asarray(jax.device_get(st.material)) != -1).sum())
@@ -517,6 +539,41 @@ def test_2d_run_steers_rebalance_under_drift():
     # tiny warn fraction forces the steering branch on the first check
     st = s2.run(st, 8, check_every=4, warn_frac=0.05, verbose=True)
     assert rebalances >= 1
+    n1 = int((np.asarray(jax.device_get(st.material)) != -1).sum())
+    assert n1 == n0
+    m = jax.device_get(s2.metrics(st))
+    assert int(m["nan_count"]) == 0
+
+
+def test_2d_run_deepens_migration_caps_on_overflow():
+    """run() must READ occ_resort (clamped-migration trips), not just
+    reset it: a bulk crossing that overflows a migration buffer leaves
+    rows in the wrong shard for a rebuild — run() deepens the m-caps so
+    the next crossing fits (round-5 review: the counter was zeroed
+    unexamined, so chronic overflow degraded forces invisibly)."""
+    import dataclasses
+
+    scene = _scene()
+    mesh = make_mesh2d(2, 4)
+    s2 = ShardedWCSPH2D(scene, mesh, sweep_cfg=SweepConfig(**_CFG))
+    st = s2.bind(tt.build_state(scene))
+    n0 = int((np.asarray(jax.device_get(st.material)) != -1).sum())
+
+    # teleport a bulk of one shard's rows across the y cut, with the
+    # migration cap far below the migrant count
+    s2.cap_my = 128
+    for name in [k for k in vars(s2) if k.endswith("_jit")]:
+        setattr(s2, name, None)
+    x = np.asarray(jax.device_get(st.x)).copy()
+    mat = np.asarray(jax.device_get(st.material))
+    rows = s2._shard_rows
+    sel = np.nonzero(mat[1 * rows:2 * rows] != -1)[0][:300] + 1 * rows
+    x[sel, 1] = 0.55
+    st = dataclasses.replace(st, x=jax.numpy.asarray(x))
+    st = s2.shard_state(st)
+
+    st = s2.run(st, 4, check_every=1, verbose=True)
+    assert s2.cap_my > 128, "run() never deepened the migration caps"
     n1 = int((np.asarray(jax.device_get(st.material)) != -1).sum())
     assert n1 == n0
     m = jax.device_get(s2.metrics(st))

@@ -618,8 +618,9 @@ class ShardedWCSPH(SolverBase):
                 ext["x"], ext["v"], ext["density"], ext["pressure"],
                 ext["mass"], ext["volume"], ext["material"], ids_e, params,
             )
-            fn = (ps.density_sweep_seg if mode == "density"
-                  else ps.force_sweep_seg)
+            fn = {"density": ps.density_sweep_seg,
+                  "force": ps.force_sweep_seg,
+                  "bvol": ps.bvol_sweep_seg}[mode]
             # COMPACT output over the extended array; this shard's rows
             # start at ``off`` (the meta's iblk carries the same offset)
             out_c = fn(pack_ext, meta_c, spec, params, scfg.block_size,
@@ -629,6 +630,11 @@ class ShardedWCSPH(SolverBase):
             if mode == "density":
                 keep = bval & fluid
                 res = jnp.where(keep, out_l, f_local["density"])
+            elif mode == "bvol":
+                bd = f_local["material"] == 0
+                res = jnp.where(bval & bd,
+                                1.0 / jnp.maximum(out_l, 1e-10),
+                                f_local["volume"])
             else:
                 keep = (bval & fluid)[:, None]
                 res = jnp.where(keep, out_l, 0.0)
@@ -639,6 +645,24 @@ class ShardedWCSPH(SolverBase):
             (axis_spec, meta_spec, axis_spec)
             + (axis_spec,) * len(_FIELD_KEYS)
         )
+
+        if self.boundary_mode == "per_step":
+            # recompute the Akinci boundary volumes every substep, exactly
+            # like the single-chip plain step (models/wcsph.py: the
+            # per_step bvol sweep inside _seg_apply_pack) — without this,
+            # boundary rows would silently keep build_state's uniform
+            # volume0 forever (bind skips the static precompute here)
+            @partial(jax.shard_map, mesh=self.mesh, in_specs=in_specs,
+                     out_specs=(axis_spec, P()), check_vma=False)
+            def bvol_shard(ids_l, meta_c, bval, *fields):
+                return sweep_shard("bvol", ids_l, meta_c, bval, *fields)
+
+            f = F.state_fields(state)
+            volume, _ = bvol_shard(
+                sorted_ids, meta, back_valid,
+                *[f[k] for k in _FIELD_KEYS],
+            )
+            state = dataclasses.replace(state, volume=volume)
 
         @partial(jax.shard_map, mesh=self.mesh, in_specs=in_specs,
                  out_specs=(axis_spec, P()), check_vma=False)

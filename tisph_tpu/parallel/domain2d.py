@@ -914,6 +914,13 @@ class ShardedWCSPHRect(SolverBase):
         """One fluid physics substep against the cached structure
         (×2 value exchanges around the EOS barrier)."""
         params = self.params
+        if self.boundary_mode == "per_step":
+            # per-substep Akinci volume recompute, matching the single-chip
+            # plain step (models/wcsph.py::_seg_apply_pack) — bind skips the
+            # static precompute in this mode, so skipping the sweep here
+            # would freeze boundary rows at build_state's uniform volume0
+            volume = self._exchange_sweep(state, cache, "bvol")
+            state = dataclasses.replace(state, volume=volume)
         density = self._exchange_sweep(state, cache, "density")
         rho, pressure = tait_pressure(
             density, params.density0, params.stiffness, params.exponent
@@ -1104,11 +1111,15 @@ class ShardedWCSPHRect(SolverBase):
     # ------------------------------------------------------------------
     # runtime adaptation
     # ------------------------------------------------------------------
-    def regrow_buffers(self, factor: float = 2.0) -> None:
-        """Deepen the halo/migration buffer caps (occ_halo tripped: some
-        1-cell layer outgrew its buffer) and drop compiled artifacts."""
+    def regrow_buffers(self, factor: float = 2.0,
+                       kinds: tuple[str, ...] = ("h", "m")) -> None:
+        """Deepen the halo ('h') and/or migration ('m') buffer caps
+        (occ_halo tripped: some 1-cell layer outgrew its buffer;
+        occ_resort tripped: bulk migrants overflowed a migration buffer
+        and were clamped in place for a rebuild) and drop compiled
+        artifacts."""
         for L in self._letters:
-            for kind in ("h", "m"):
+            for kind in kinds:
                 name = f"cap_{kind}{L}"
                 v = int(getattr(self, name) * factor)
                 setattr(self, name, max(128, -(-v // 128) * 128))
@@ -1175,6 +1186,18 @@ class ShardedWCSPHRect(SolverBase):
                 if verbose:
                     print(f"[tisph] rect halo/migration buffer overflow at "
                           f"caps {old}; deepened to {new} (recompile)")
+            mig = int(jax.device_get(state.occ_resort))
+            if mig:
+                # clamped migration rows are lossless (they stay in place,
+                # counted here, and home at a later rebuild) but each trip
+                # means a rebuild ran with rows in the wrong shard — deepen
+                # the migration buffers so bulk crossings fit next time
+                old = tuple(self._cap_m(a) for a in range(self.n_ax))
+                self.regrow_buffers(kinds=("m",))
+                new = tuple(self._cap_m(a) for a in range(self.n_ax))
+                if verbose:
+                    print(f"[tisph] {mig} clamped migration rows at m-caps "
+                          f"{old}; deepened to {new} (recompile)")
             occ = int(jax.device_get(state.occ_window))
             cap = self._occ_cap()
             if cap and occ > warn_frac * cap:

@@ -11,6 +11,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 import tisph_tpu as tt
 from tisph_tpu.ops import grid as gridops
