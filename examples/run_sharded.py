@@ -46,7 +46,13 @@ def main() -> int:
     scene = tt.load_scene(args.scene)
     state = tt.build_state(scene)
     if args.mesh2d:
-        sizes = tuple(map(int, args.mesh2d.lower().split("x")))
+        try:
+            sizes = tuple(map(int, args.mesh2d.lower().split("x")))
+        except ValueError:
+            sizes = ()
+        if len(sizes) not in (2, 3) or any(s < 1 for s in sizes):
+            ap.error(f"--mesh2d expects SXxSY or SXxSYxSZ (e.g. 4x2 or "
+                     f"2x2x2), got {args.mesh2d!r}")
         mesh = (make_mesh2d(*sizes) if len(sizes) == 2
                 else make_mesh3d(*sizes))
         print(f"mesh: {'x'.join(map(str, sizes))} "
@@ -97,6 +103,16 @@ def main() -> int:
     print(f"{args.steps} steps in {wall:.2f}s -> {n * args.steps / wall:.3e} "
           f"particle-steps/sec; vmax={float(m['max_velocity']):.3f} "
           f"nan={int(m['nan_count'])}")
+    # rect meshes only: the 1-D class has no fixed per-shard cut (its
+    # exchange resort falls back to a lossless global sort instead)
+    used = int(m.get("shard_rows_used", 0))
+    budget = int(m.get("shard_rows", 0))
+    if budget and used > budget:
+        print(f"ERROR: a shard needed {used} rows > budget {budget} — the "
+              f"rebuild cut dropped particles; rerun with a larger "
+              f"balance_slack or more shards (solver.run() steers this "
+              f"automatically)", file=sys.stderr)
+        return 1
     return 0
 
 

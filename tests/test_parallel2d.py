@@ -358,6 +358,30 @@ def test_2d_emitter_matches_single_chip():
     np.testing.assert_allclose(r1, r2, rtol=1e-4)
 
 
+def test_2d_emitter_respects_shard_headroom():
+    """The per-shard room check must reserve migrant headroom: a fire that
+    fills a shard to exactly shard_rows leaves the next rebuild's fixed
+    cut nothing to absorb arriving migrants with, and rows are dropped
+    silently under bare rollout_emit (run() hard-errors, but rollout_emit
+    is the only emitter entry point).  emit_frac=0 makes the guard block
+    EVERY fire — pins that the threshold is live and all-or-nothing; the
+    default 0.9 firing normally is covered by the equality gates."""
+    from tisph_tpu.geometry.emitter import make_emitter_state
+
+    scene = _emitter_scene()
+    mesh = make_mesh2d(2, 2)
+    s2 = ShardedWCSPH2D(scene, mesh, sweep_cfg=SweepConfig(**_CFG),
+                        emit_frac=0.0)
+    st = s2.bind(tt.build_state(scene, extra_capacity=512))
+    n0 = int(jax.device_get(st.num_active))
+    es = make_emitter_state(scene.emitters[0], scene)
+    st, ems = s2.rollout_emit(st, [es], 12)
+    assert int(jax.device_get(ems[0].emitted)) == 0
+    assert int(jax.device_get(st.num_active)) == n0
+    act = np.asarray(jax.device_get(st.material)) != -1
+    assert act.sum() == n0
+
+
 def test_2d_migration_anomaly_ratchets_home():
     """Teleport a block of particles across MULTIPLE shards (beyond the
     adjacent-shard contract): the clamped migration must flag the anomaly

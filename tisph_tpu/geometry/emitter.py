@@ -56,6 +56,41 @@ def make_emitter_state(em: Emitter, scene: SceneConfig) -> EmitterState:
     )
 
 
+# object_id stamped on every emitted particle (distinct from fluid-block /
+# rigid-body ids so diagnostics can tell emitted rows apart)
+EMITTER_OBJECT_ID = 10_000
+
+# the nine per-particle fields an activation writes
+EMIT_FIELDS = ("x", "v", "density", "pressure", "volume", "mass",
+               "material", "color", "object_id")
+
+
+def activate_seeds(fields: dict, idx, seeds, velocity, color, density,
+                   volume0: float, dim: int) -> dict:
+    """Scatter one seed batch into rows ``idx`` of the nine EMIT_FIELDS
+    arrays (out-of-range idx rows drop — the fixed-shape skip mechanism).
+    The ONE source of truth for what an emitted particle looks like: the
+    single-chip tail-pool path (``maybe_emit``) and the sharded per-shard
+    tail path (``ShardedWCSPHRect._maybe_emit``) both call it, so a new
+    per-particle field or initial-value change lands in both layouts."""
+    b = seeds.shape[0]
+    vol = jnp.full((b,), volume0, jnp.float32)
+    return dict(
+        x=fields["x"].at[idx].set(seeds, mode="drop"),
+        v=fields["v"].at[idx].set(
+            jnp.broadcast_to(velocity, (b, dim)), mode="drop"),
+        density=fields["density"].at[idx].set(density, mode="drop"),
+        pressure=fields["pressure"].at[idx].set(0.0, mode="drop"),
+        volume=fields["volume"].at[idx].set(vol, mode="drop"),
+        mass=fields["mass"].at[idx].set(vol * density, mode="drop"),
+        material=fields["material"].at[idx].set(MATERIAL_FLUID, mode="drop"),
+        color=fields["color"].at[idx].set(
+            jnp.broadcast_to(color, (b, 3)), mode="drop"),
+        object_id=fields["object_id"].at[idx].set(
+            jnp.asarray(EMITTER_OBJECT_ID, jnp.int32), mode="drop"),
+    )
+
+
 def maybe_emit(
     state: SimState, es: EmitterState, volume0: float
 ) -> tuple[SimState, EmitterState]:
@@ -79,20 +114,14 @@ def maybe_emit(
     idx = start + jnp.arange(b, dtype=jnp.int32)
     idx = jnp.where(fire, idx, cap)  # out-of-range drops the scatter
 
-    dim = state.dim
-    vol = jnp.full((b,), volume0, jnp.float32)
+    new_fields = activate_seeds(
+        {k: getattr(state, k) for k in EMIT_FIELDS}, idx,
+        es.seeds_x, es.velocity, es.color, es.density, volume0, state.dim,
+    )
     new = dataclasses.replace(
         state,
-        x=state.x.at[idx].set(es.seeds_x, mode="drop"),
-        v=state.v.at[idx].set(jnp.broadcast_to(es.velocity, (b, dim)), mode="drop"),
-        density=state.density.at[idx].set(es.density, mode="drop"),
-        pressure=state.pressure.at[idx].set(0.0, mode="drop"),
-        volume=state.volume.at[idx].set(vol, mode="drop"),
-        mass=state.mass.at[idx].set(vol * es.density, mode="drop"),
-        material=state.material.at[idx].set(MATERIAL_FLUID, mode="drop"),
-        color=state.color.at[idx].set(jnp.broadcast_to(es.color, (b, 3)), mode="drop"),
-        object_id=state.object_id.at[idx].set(jnp.asarray(10_000, jnp.int32), mode="drop"),
         num_active=jnp.where(fire, state.num_active + b, state.num_active),
+        **new_fields,
     )
     es2 = dataclasses.replace(
         es,

@@ -164,6 +164,7 @@ class ShardedWCSPHRect(SolverBase):
         sweep_cfg: SweepConfig | None = None,
         balance_slack: float = 1.5,
         buffer_slack: float = 2.0,
+        emit_frac: float = 0.9,
         boundary_mode: str | None = None,
     ):
         if boundary_mode is None:
@@ -199,6 +200,13 @@ class ShardedWCSPHRect(SolverBase):
         self.n_shards = int(np.prod(self.sizes))
         self.balance_slack = float(balance_slack)
         self.buffer_slack = float(buffer_slack)
+        # emitters fire only while every shard's active count stays under
+        # emit_frac * shard_rows — the same threshold run() rebalances at,
+        # so emission never consumes the migration headroom whose loss
+        # would make the next rebuild's fixed cut drop rows (see
+        # _maybe_emit); skipped batches surface as a cadence mismatch in
+        # EmitterState.emitted
+        self.emit_frac = float(emit_frac)
         self._sharding = NamedSharding(mesh, P(tuple(self.axes)))
         self._replicated = NamedSharding(mesh, P())
         self._shard_rows: int | None = None
@@ -463,16 +471,25 @@ class ShardedWCSPHRect(SolverBase):
         boundary layers of the CURRENT distribution (device-side counts;
         regrow_buffers doubles them when occ_halo trips at runtime).
 
-        Stage ``a``'s select pool is [own rows ∥ halos received from every
-        LATER-staged axis b > a] — the exchange runs last-axis-first, so
-        e.g. the x stage selects from (own ∥ z-halo ∥ y-halo).  Measuring
-        own edge rows alone undercounts by the corner share and silently
-        drops corner cells when the buffer clips (the round-5 2x4
+        HALO stage ``a``'s select pool is [own rows ∥ halos received from
+        every LATER-staged axis b > a] — the exchange runs last-axis-first,
+        so e.g. the x stage selects from (own ∥ z-halo ∥ y-halo).
+        Measuring own edge rows alone undercounts by the corner share and
+        silently drops corner cells when the buffer clips (the round-5 2x4
         divergence bug: m_xp = 450 > cap 384 measured own-only).  The
-        general pool sums, over every subset T of the later axes and every
+        general pool sums, over every subset T of the ride axes and every
         direction assignment, the count of rows in a's edge layer AND all
         of T's edge layers, shifted to the receiving shard — for 3 axes
-        the x pool carries the 4 double-corner (rode z THEN y) terms."""
+        the x halo pool carries the 4 double-corner (rode z THEN y) terms.
+
+        MIGRATION runs in the OPPOSITE stage order (first-axis-first,
+        x -> y -> z: _seg_build's migration loop), so axis a's migration
+        pool rides the EARLIER axes b < a: a diagonal migrant crosses the
+        x cut in the x phase, arrives, and is selected AGAIN by the y
+        phase from the received rows.  Sizing cap_m from the halo
+        (later-axis) pool would undercount the last migration axis by
+        exactly the corner share the halo fix added — the same bug class
+        in the reverse orientation."""
         from itertools import combinations, product as _iproduct
 
         spec, n_ax, sizes = self.spec, self.n_ax, self.sizes
@@ -510,14 +527,14 @@ class ShardedWCSPHRect(SolverBase):
                                 for i in range(n_ax))
                 return jnp.zeros_like(arr).at[dst].set(arr[src])
 
-            caps = []
-            for a in range(n_ax):
-                later = list(range(a + 1, n_ax))
+            def pool_worst(a, ride):
+                """Worst-shard pool for a stage along axis ``a`` whose
+                select source includes rows ridden in from ``ride``."""
                 worst = []
                 for d_a in (1, -1):
                     pool = jnp.zeros(tuple(sizes), jnp.int32)
-                    for r in range(len(later) + 1):
-                        for T in combinations(later, r):
+                    for r in range(len(ride) + 1):
+                        for T in combinations(ride, r):
                             for dirs in _iproduct((1, -1), repeat=r):
                                 m = edge(a, d_a)
                                 for b, db in zip(T, dirs):
@@ -527,18 +544,23 @@ class ShardedWCSPHRect(SolverBase):
                                     c = shift(c, b, db)
                                 pool = pool + c
                     worst.append(jnp.max(pool))
-                caps.append(jnp.maximum(worst[0], worst[1]))
-            return tuple(caps)
+                return jnp.maximum(worst[0], worst[1])
 
-        vals = [int(v) for v in jax.device_get(_layers(state))]
+            caps_h = [pool_worst(a, list(range(a + 1, n_ax)))
+                      for a in range(n_ax)]
+            caps_m = [pool_worst(a, list(range(a)))
+                      for a in range(n_ax)]
+            return tuple(caps_h), tuple(caps_m)
+
+        vh, vm = jax.device_get(_layers(state))
         sl = self.buffer_slack
 
         def cap(v):
-            return max(128, -(-int(v * sl) // 128) * 128)
+            return max(128, -(-int(int(v) * sl) // 128) * 128)
 
         for a, L in enumerate(self._letters):
-            setattr(self, f"cap_h{L}", cap(vals[a]))
-            setattr(self, f"cap_m{L}", cap(vals[a]))
+            setattr(self, f"cap_h{L}", cap(vh[a]))
+            setattr(self, f"cap_m{L}", cap(vm[a]))
 
     # ------------------------------------------------------------------
     # shard-local helpers (traced inside shard_map)
@@ -946,9 +968,12 @@ class ShardedWCSPHRect(SolverBase):
         new rows never migrate at the next rebuild.  The fire decision is
         all-or-nothing across the mesh (``pmin`` of per-shard room) so the
         ``emitted`` counter stays exact and the cadence matches the 1-D /
-        single-chip paths; a full owner shard therefore SKIPS the batch
-        (flagged by the cadence mismatch in ``emitted``) until run()'s
-        occ_shard-steered rebalance redistributes the load.  Mid-R-group
+        single-chip paths; an owner shard past ``emit_frac`` of its row
+        budget therefore SKIPS the batch (flagged by the cadence mismatch
+        in ``emitted``) until run()'s occ_shard-steered rebalance
+        redistributes the load — filling a shard to exactly ``shard_rows``
+        would leave no migrant headroom and the next rebuild's fixed cut
+        drops rows.  Mid-R-group
         activations join the neighbor structure at the next group rebuild
         (<= R-1 substeps of ballistic flight — the same contract as
         SolverBase.rollout_emit's fused 1-D cadence)."""
@@ -966,6 +991,16 @@ class ShardedWCSPHRect(SolverBase):
         )
         maybe = due & under_quota
 
+        # fire only while every shard stays under emit_frac of its row
+        # budget: a fire that filled a shard to EXACTLY shard_rows would
+        # leave zero headroom for migrants, and the next rebuild's fixed
+        # cut silently drops whatever exceeds the budget (run() hard-errors
+        # on occ_shard > shard_rows, but rollout_emit — the only emitter
+        # entry point — never reads it).  The reserve aligns with run()'s
+        # rebalance threshold: emission never pushes a shard into the
+        # red zone the steering loop exists to drain.
+        emit_rows = int(self.emit_frac * rows)
+
         @partial(jax.shard_map, mesh=self.mesh,
                  in_specs=(rspec,) * 5 + (pspec,) * len(_PAYLOAD),
                  out_specs=(pspec,) * len(_PAYLOAD) + (rspec,),
@@ -973,6 +1008,8 @@ class ShardedWCSPHRect(SolverBase):
         def emit_shard(maybe_c, seeds, evel, ecol, eden,
                        x, v, density, pressure, mass, volume, material,
                        color, object_id):
+            from tisph_tpu.geometry.emitter import activate_seeds
+
             my = [jax.lax.axis_index(names[a]) for a in range(n_ax)]
             coords = gridops.cell_coords(seeds, spec)
             ss = self._shard_of(coords, jnp.ones((B,), bool))
@@ -982,25 +1019,17 @@ class ShardedWCSPHRect(SolverBase):
             k = jnp.sum(owned.astype(jnp.int32))
             cnt = jnp.sum((material != MATERIAL_INVALID).astype(jnp.int32))
             room = jax.lax.pmin(
-                ((cnt + k) <= rows).astype(jnp.int32), axes_t
+                ((cnt + k) <= emit_rows).astype(jnp.int32), axes_t
             )
             fire = maybe_c & (room > 0)
             idx = cnt + jnp.cumsum(owned.astype(jnp.int32)) - 1
             idx = jnp.where(owned & fire, idx, rows)  # mode='drop' discards
-            vol = jnp.full((B,), volume0, jnp.float32)
-            return (
-                x.at[idx].set(seeds, mode="drop"),
-                v.at[idx].set(jnp.broadcast_to(evel, (B, dim)), mode="drop"),
-                density.at[idx].set(eden, mode="drop"),
-                pressure.at[idx].set(0.0, mode="drop"),
-                mass.at[idx].set(vol * eden, mode="drop"),
-                volume.at[idx].set(vol, mode="drop"),
-                material.at[idx].set(MATERIAL_FLUID, mode="drop"),
-                color.at[idx].set(jnp.broadcast_to(ecol, (B, 3)), mode="drop"),
-                object_id.at[idx].set(jnp.asarray(10_000, jnp.int32),
-                                      mode="drop"),
-                fire.astype(jnp.int32),
-            )
+            fields = dict(x=x, v=v, density=density, pressure=pressure,
+                          mass=mass, volume=volume, material=material,
+                          color=color, object_id=object_id)
+            out = activate_seeds(fields, idx, seeds, evel, ecol, eden,
+                                 volume0, dim)
+            return (*(out[f] for f in _PAYLOAD), fire.astype(jnp.int32))
 
         outs = emit_shard(
             maybe, es.seeds_x, es.velocity, es.color, es.density,
@@ -1180,24 +1209,28 @@ class ShardedWCSPHRect(SolverBase):
                           f"{self._shard_rows}; rebalancing cuts (recompile)")
                 state = self.rebalance(state)
             if int(jax.device_get(state.occ_halo)):
+                # occ_halo counts HALO-stage overflow only (migration
+                # overflow rides occ_resort below) — deepen just the h caps
                 old = tuple(self._cap_h(a) for a in range(self.n_ax))
-                self.regrow_buffers()
+                self.regrow_buffers(kinds=("h",))
                 new = tuple(self._cap_h(a) for a in range(self.n_ax))
                 if verbose:
-                    print(f"[tisph] rect halo/migration buffer overflow at "
+                    print(f"[tisph] rect halo buffer overflow at "
                           f"caps {old}; deepened to {new} (recompile)")
             mig = int(jax.device_get(state.occ_resort))
             if mig:
                 # clamped migration rows are lossless (they stay in place,
-                # counted here, and home at a later rebuild) but each trip
-                # means a rebuild ran with rows in the wrong shard — deepen
-                # the migration buffers so bulk crossings fit next time
+                # flagged, and home at a later rebuild) but each trip means
+                # a rebuild ran with rows in the wrong shard — deepen the
+                # migration buffers so bulk crossings fit next time.
+                # (occ_resort counts REBUILDS that tripped, not rows.)
                 old = tuple(self._cap_m(a) for a in range(self.n_ax))
                 self.regrow_buffers(kinds=("m",))
                 new = tuple(self._cap_m(a) for a in range(self.n_ax))
                 if verbose:
-                    print(f"[tisph] {mig} clamped migration rows at m-caps "
-                          f"{old}; deepened to {new} (recompile)")
+                    print(f"[tisph] {mig} rebuilds with clamped/anomalous "
+                          f"migration at m-caps {old}; deepened to {new} "
+                          f"(recompile)")
             occ = int(jax.device_get(state.occ_window))
             cap = self._occ_cap()
             if cap and occ > warn_frac * cap:

@@ -194,7 +194,13 @@ def main():
         "rigidBodies": [],
     })
     if args.mesh2d:
-        sizes = tuple(map(int, args.mesh2d.lower().split("x")))
+        try:
+            sizes = tuple(map(int, args.mesh2d.lower().split("x")))
+        except ValueError:
+            sizes = ()
+        if len(sizes) not in (2, 3) or any(s < 1 for s in sizes):
+            raise SystemExit(f"--mesh2d expects SXxSY or SXxSYxSZ (e.g. 4x2 "
+                             f"or 2x2x2), got {args.mesh2d!r}")
         if int(np.prod(sizes)) != args.devices:
             raise SystemExit(f"--mesh2d {args.mesh2d} != {args.devices} devices")
         mesh2 = (make_mesh2d(*sizes) if len(sizes) == 2
